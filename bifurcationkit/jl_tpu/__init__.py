@@ -1,0 +1,26 @@
+"""bifurcationkit.jl_tpu — TPU-native numerical continuation & bifurcation
+analysis framework (JAX / XLA / Pallas / pjit).
+
+A from-scratch re-design of the capabilities of BifurcationKit.jl
+(reference mounted at /root/reference) for TPU hardware: pytree states,
+jit-compiled Newton/PALC/Krylov loops, Pallas sparse kernels, and
+`jax.sharding` meshes in place of the reference's single-process Julia stack.
+"""
+import os as _os
+
+import jax as _jax
+
+# Bifurcation tolerances (Newton tol 1e-12, bisection eig tol 1e-16 — ref
+# src/ContParameters.jl:81) need f64 accumulation.  Opt out with
+# BK_TPU_X64=0 for pure-f32 kernel benchmarking.
+if _os.environ.get("BK_TPU_X64", "1") == "1":
+    _jax.config.update("jax_enable_x64", True)
+
+from .core import (BifurcationProblem, BorderedState, ContinuationPar,
+                   DotTheta, Lens, NewtonPar, ODEBifProblem, PDEBifProblem,
+                   as_lens, lens_get, lens_set, setfield)
+from .linalg import (ArnoldiEig, BiCGStab, DenseEig, DenseLS, FlatOperator,
+                     GMRES, ShiftInvertEig)
+from .newton import NonLinearSolution, cb_max_norm, newton
+
+__version__ = "0.1.0"

@@ -1,0 +1,206 @@
+"""Problem layer (ref src/Problems.jl).
+
+`BifurcationProblem(F, u0, params, lens)` holds the residual `F(u, params)`
+plus optional user derivatives; everything missing is synthesized with JAX
+transforms instead of ForwardDiff (ref src/Problems.jl:141-184):
+
+* jacobian-vector products  -> `jax.jvp`
+* adjoint products          -> `jax.vjp`
+* dense jacobian            -> `jax.jacfwd` over the raveled state
+* dF/dp                     -> `jax.jvp` through the lens (exact, replacing
+                               the reference's finite differences at
+                               src/continuation/Palc.jl:222-240)
+* d2F, d3F, jets R_ij       -> nested `jax.jvp`
+
+The problem object is *static configuration* (callables + metadata); the
+dynamic data (u, params) is always passed explicitly so jitted kernels close
+over the problem once and never retrace.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .lens import LensLike, as_lens, lens_get, lens_set
+from .state import ravel, tree_norm
+
+Pytree = Any
+
+
+def _default_record(x, p, **kwargs):
+    flat, _ = ravel(x)
+    return {"param": p, "norm": jnp.linalg.norm(flat)}
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class BifurcationProblem:
+    """Bifurcation problem F(u, params) = 0 continued in `lens_get(params, lens)`.
+
+    (ref `BifurcationProblem` constructor, src/Problems.jl:439-512)
+    """
+
+    F: Callable[[Pytree, Any], Pytree]
+    u0: Pytree = None
+    params: Any = None
+    lens: Optional[LensLike] = None
+
+    # optional user-supplied derivatives (ref BifFunction, src/Problems.jl:89-184)
+    jac: Optional[Callable] = None          # (u, params) -> dense matrix
+    jac_op: Optional[Callable] = None       # (u, params) -> (v -> J v) operator
+    jac_adjoint: Optional[Callable] = None  # (u, params) -> (v -> J^T v)
+    d2F_user: Optional[Callable] = None     # (u, params, dx1, dx2)
+    d3F_user: Optional[Callable] = None     # (u, params, dx1, dx2, dx3)
+
+    # hooks (ref src/Problems.jl:458-476)
+    record_from_solution: Callable = _default_record
+    plot_solution: Optional[Callable] = None
+    save_solution: Optional[Callable] = None
+    update: Optional[Callable] = None       # problem update hook along branch
+
+    # numerics
+    delta: float = 1e-8                     # FD step when FD fallback requested
+
+    # --- residual / parameter access ------------------------------------
+    def residual(self, u, params):
+        return self.F(u, params)
+
+    def get_lens_param(self, params):
+        return lens_get(params, self.lens)
+
+    def set_lens_param(self, params, value):
+        return lens_set(params, self.lens, value)
+
+    @property
+    def param_value(self):
+        return self.get_lens_param(self.params)
+
+    # --- jacobians -------------------------------------------------------
+    def jacobian(self, u, params):
+        """Dense jacobian as a 2-D array over the raveled state."""
+        if self.jac is not None:
+            return self.jac(u, params)
+        flat, unravel = ravel(u)
+
+        def f_flat(v):
+            out = self.F(unravel(v), params)
+            of, _ = ravel(out)
+            return of
+
+        return jax.jacfwd(f_flat)(flat)
+
+    def jacobian_operator(self, u, params):
+        """Matrix-free jacobian: returns `v -> J(u, params) v` on pytrees."""
+        if self.jac_op is not None:
+            return self.jac_op(u, params)
+
+        def op(v):
+            return self.dF(u, params, v)
+
+        return op
+
+    def dF(self, u, params, v):
+        """J(u, params) @ v via jvp."""
+        if self.jac_op is not None:
+            return self.jac_op(u, params)(v)
+        _, jv = jax.jvp(lambda x: self.F(x, params), (u,), (v,))
+        return jv
+
+    def dFt(self, u, params, v):
+        """J(u, params)^T @ v via vjp (real transpose, not conjugate)."""
+        if self.jac_adjoint is not None:
+            return self.jac_adjoint(u, params)(v)
+        _, vjp_fn = jax.vjp(lambda x: self.F(x, params), u)
+        (out,) = vjp_fn(v)
+        return out
+
+    def dFdp(self, u, params):
+        """Exact dF/dp through the lens via jvp (replaces the reference's
+        finite differences, src/continuation/Palc.jl:222)."""
+        p0 = self.get_lens_param(params)
+
+        def f_of_p(p):
+            return self.F(u, self.set_lens_param(params, p))
+
+        _, dp = jax.jvp(f_of_p, (p0,), (jnp.ones_like(jnp.asarray(p0)),))
+        return dp
+
+    # --- higher-order derivatives (jets) ---------------------------------
+    def d2F(self, u, params, dx1, dx2):
+        """Bilinear form d^2F(u)[dx1, dx2] via nested jvp
+        (ref `BilinearMap`, src/Problems.jl:677-694)."""
+        if self.d2F_user is not None:
+            return self.d2F_user(u, params, dx1, dx2)
+
+        def jv(x):
+            _, out = jax.jvp(lambda y: self.F(y, params), (x,), (dx1,))
+            return out
+
+        _, d2 = jax.jvp(jv, (u,), (dx2,))
+        return d2
+
+    def d3F(self, u, params, dx1, dx2, dx3):
+        """Trilinear form d^3F(u)[dx1, dx2, dx3]
+        (ref `TrilinearMap`, src/Problems.jl:696-712)."""
+        if self.d3F_user is not None:
+            return self.d3F_user(u, params, dx1, dx2, dx3)
+
+        def j2(x):
+            def jv(y):
+                _, out = jax.jvp(lambda z: self.F(z, params), (y,), (dx1,))
+                return out
+
+            _, out2 = jax.jvp(jv, (x,), (dx2,))
+            return out2
+
+        _, d3 = jax.jvp(j2, (u,), (dx3,))
+        return d3
+
+    def d2F_complex(self, u, params, dx1, dx2):
+        """Bilinear form extended to complex directions by multilinearity
+        (ref `BilinearMap` complex splitting, src/Problems.jl:677-694).
+        JAX jvp cannot push complex tangents through real F, so split."""
+        re = lambda t: jax.tree_util.tree_map(lambda x: jnp.real(x), t)
+        im = lambda t: jax.tree_util.tree_map(lambda x: jnp.imag(x), t)
+        b = self.d2F
+        rr = b(u, params, re(dx1), re(dx2))
+        ri = b(u, params, re(dx1), im(dx2))
+        ir = b(u, params, im(dx1), re(dx2))
+        ii = b(u, params, im(dx1), im(dx2))
+        return jax.tree_util.tree_map(
+            lambda t_rr, t_ii, t_ri, t_ir: (t_rr - t_ii) + 1j * (t_ri + t_ir),
+            rr, ii, ri, ir)
+
+    def d3F_complex(self, u, params, dx1, dx2, dx3):
+        re = lambda t: jax.tree_util.tree_map(lambda x: jnp.real(x), t)
+        im = lambda t: jax.tree_util.tree_map(lambda x: jnp.imag(x), t)
+        t = self.d3F
+        out = None
+        # expand (r1 + i i1)(r2 + i i2)(r3 + i i3) by multilinearity
+        for s1, f1 in ((1.0, re), (1j, im)):
+            for s2, f2 in ((1.0, re), (1j, im)):
+                for s3, f3 in ((1.0, re), (1j, im)):
+                    term = t(u, params, f1(dx1), f2(dx2), f3(dx3))
+                    coef = s1 * s2 * s3
+                    term = jax.tree_util.tree_map(lambda x: coef * x, term)
+                    out = term if out is None else jax.tree_util.tree_map(
+                        jnp.add, out, term)
+        return out
+
+    # --- functional update (ref re_make, src/Problems.jl:576-617) ---------
+    def re_make(self, **kwargs):
+        return dataclasses.replace(self, **kwargs)
+
+    # hashing by identity: problems are static configuration objects
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+# Aliases matching the reference's ODE/PDE constructors (src/Problems.jl:514-530)
+ODEBifProblem = BifurcationProblem
+PDEBifProblem = BifurcationProblem

@@ -1,0 +1,289 @@
+"""Linear solver abstraction (ref src/LinearSolver.jl:8-414).
+
+A linear solver is a frozen-dataclass callable
+
+    ls(J, rhs, a0=0.0, a1=1.0) -> (sol, converged, n_iter)
+
+solving ``(a0 * I + a1 * J) x = rhs``.  ``J`` may be
+
+* a dense 2-D jax array,
+* a ``LinearOperator`` / any callable ``v -> J @ v`` acting on pytrees.
+
+Solvers are hashable static configuration; all numeric work happens in
+jit-compatible pure functions so the Newton / PALC / Krylov loops stay inside
+one XLA computation on the TPU.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.state import ravel, tree_axpby
+
+
+# ---------------------------------------------------------------------------
+# Operator utilities
+# ---------------------------------------------------------------------------
+
+
+def is_operator(J) -> bool:
+    return callable(J) and not isinstance(J, jnp.ndarray)
+
+
+def apply_J(J, v):
+    """Apply a jacobian representation (matrix or callable) to pytree v."""
+    if is_operator(J):
+        return J(v)
+    flat, unravel = ravel(v)
+    return unravel(J @ flat)
+
+
+def shifted_apply(J, v, a0, a1):
+    """(a0 I + a1 J) v   (ref `_axpy_op`, src/LinearSolver.jl:55-76)."""
+    Jv = apply_J(J, v)
+    return tree_axpby(a0, v, a1, Jv)
+
+
+def materialize_shift(J: jnp.ndarray, a0, a1) -> jnp.ndarray:
+    if a0 == 0 and a1 == 1:
+        return J
+    n = J.shape[0]
+    return a1 * J + a0 * jnp.eye(n, dtype=J.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Dense direct solver
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseLS:
+    """Direct dense solve via LU (ref `DefaultLS`, src/LinearSolver.jl:94-117).
+
+    On TPU the LU factorization runs through XLA's blocked getrf, which tiles
+    onto the MXU; for the (n+1) bordered systems of PALC the factorization is
+    shared between the two right-hand sides (`solve_two`).
+    """
+
+    def __call__(self, J, rhs, a0=0.0, a1=1.0):
+        A = materialize_shift(J, a0, a1)
+        flat, unravel = ravel(rhs)
+        sol = jax.scipy.linalg.solve(A, flat)
+        return unravel(sol), jnp.array(True), jnp.array(1)
+
+    def solve_two(self, J, r1, r2, a0=0.0, a1=1.0):
+        """Solve with two RHS sharing one factorization
+        (ref src/LinearSolver.jl:119-131)."""
+        A = materialize_shift(J, a0, a1)
+        f1, unravel1 = ravel(r1)
+        f2, unravel2 = ravel(r2)
+        lu, piv = jax.scipy.linalg.lu_factor(A)
+        s1 = jax.scipy.linalg.lu_solve((lu, piv), f1)
+        s2 = jax.scipy.linalg.lu_solve((lu, piv), f2)
+        return unravel1(s1), unravel2(s2), jnp.array(True), (jnp.array(1), jnp.array(1))
+
+
+# ---------------------------------------------------------------------------
+# GMRES — single JAX Krylov engine with preallocated basis
+# (replaces IterativeSolvers/KrylovKit/Krylov.jl deps; the preallocated-basis
+#  strategy mirrors `KrylovLSInplace`, "great for GPU", src/LinearSolver.jl:351)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class GMRES:
+    """Restarted GMRES with fixed-shape `lax.while_loop` iteration.
+
+    The Krylov basis is a preallocated `(restart+1, n)` array that lives in
+    device memory across the whole solve; the Hessenberg least-squares is
+    solved incrementally with Givens rotations.  All shapes are static so the
+    entire solver jit-compiles once and runs without host round-trips.
+    """
+
+    restart: int = 30
+    maxiter: int = 200           # total matvecs bound
+    rtol: float = 1e-8
+    atol: float = 1e-12
+    precond: Optional[Callable] = None   # left preconditioner: v -> M^{-1} v
+    precond_side: str = "left"
+
+    def __call__(self, J, rhs, a0=0.0, a1=1.0):
+        flat_rhs, unravel = ravel(rhs)
+
+        def matvec(xf):
+            out = shifted_apply(J, unravel(xf), a0, a1)
+            of, _ = ravel(out)
+            return of
+
+        if self.precond is not None:
+            prec = self.precond
+
+            def matvec_p(xf):
+                mf = matvec(xf)
+                pf, _ = ravel(prec(unravel(mf)))
+                return pf
+
+            pb, _ = ravel(prec(unravel(flat_rhs)))
+            sol, res, it = _gmres_flat(matvec_p, pb, self.restart,
+                                       self.maxiter, self.rtol, self.atol)
+        else:
+            sol, res, it = _gmres_flat(matvec, flat_rhs, self.restart,
+                                       self.maxiter, self.rtol, self.atol)
+        b_norm = jnp.linalg.norm(flat_rhs)
+        converged = res <= jnp.maximum(self.rtol * b_norm, self.atol)
+        return unravel(sol), converged, it
+
+
+def _gmres_flat(matvec, b, restart, maxiter, rtol, atol):
+    """Flat-vector restarted GMRES.  Returns (x, final_resnorm, n_matvec)."""
+    n = b.shape[0]
+    dtype = b.dtype
+    m = min(restart, n)
+    b_norm = jnp.linalg.norm(b)
+    tol = jnp.maximum(rtol * b_norm, atol)
+    n_cycles = max(1, -(-maxiter // m))
+
+    def cycle(carry):
+        x, _, nmv, _ = carry
+        r = b - matvec(x)
+        beta = jnp.linalg.norm(r)
+
+        V = jnp.zeros((m + 1, n), dtype)
+        # H stored column-wise: H[j] holds the j-th Hessenberg column (m+1)
+        H = jnp.zeros((m, m + 1), dtype)
+        cs = jnp.zeros((m,), dtype)
+        sn = jnp.zeros((m,), dtype)
+        g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
+        V = V.at[0].set(jnp.where(beta > 0, r / jnp.maximum(beta, 1e-300), r))
+
+        def arnoldi_step(state):
+            j, V, H, cs, sn, g, res = state
+            w = matvec(V[j])
+            # modified Gram-Schmidt (two-pass for f64-grade orthogonality)
+            h = jnp.zeros((m + 1,), dtype)
+
+            def mgs(i, wv):
+                w, h = wv
+                hij = jnp.where(i <= j, jnp.vdot(V[i], w), 0.0)
+                w = w - hij * V[i]
+                return w, h.at[i].add(hij)
+
+            w, h = jax.lax.fori_loop(0, m + 1, mgs, (w, h))
+            w, h2 = jax.lax.fori_loop(0, m + 1, mgs, (w, jnp.zeros_like(h)))
+            h = h + h2
+            hlast = jnp.linalg.norm(w)
+            h = h.at[j + 1].set(hlast)
+            V = V.at[j + 1].set(w / jnp.maximum(hlast, 1e-300))
+
+            # apply previous Givens rotations to the new column
+            def rot(i, h):
+                hi = cs[i] * h[i] + sn[i] * h[i + 1]
+                hip = -sn[i] * h[i] + cs[i] * h[i + 1]
+                return h.at[i].set(jnp.where(i < j, hi, h[i])).at[i + 1].set(
+                    jnp.where(i < j, hip, h[i + 1]))
+
+            h = jax.lax.fori_loop(0, m, rot, h)
+
+            # new rotation to zero h[j+1]
+            denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
+            c = jnp.where(denom > 0, h[j] / jnp.maximum(denom, 1e-300), 1.0)
+            s = jnp.where(denom > 0, h[j + 1] / jnp.maximum(denom, 1e-300), 0.0)
+            h = h.at[j].set(c * h[j] + s * h[j + 1]).at[j + 1].set(0.0)
+            cs2 = cs.at[j].set(c)
+            sn2 = sn.at[j].set(s)
+            gj1 = -s * g[j]
+            g2 = g.at[j + 1].set(gj1).at[j].set(c * g[j])
+            H2 = H.at[j].set(h)
+            return j + 1, V, H2, cs2, sn2, g2, jnp.abs(gj1)
+
+        def arnoldi_cond(state):
+            j, *_, res = state
+            return jnp.logical_and(j < m, res > tol)
+
+        j, V, H, cs, sn, g, res = jax.lax.while_loop(
+            arnoldi_cond, arnoldi_step,
+            (jnp.array(0), V, H, cs, sn, g, beta))
+
+        # back-substitution on the j x j triangular system (masked to m)
+        R = H[:, :m].T  # (m, m): R[i, jcol] = H[jcol, i]
+        # mask out unused columns to identity to keep the solve well posed
+        idx = jnp.arange(m)
+        mask = idx < j
+        Rm = jnp.where(mask[None, :] & mask[:, None], R, 0.0)
+        Rm = Rm + jnp.diag(jnp.where(mask, 0.0, 1.0))
+        y = jax.scipy.linalg.solve_triangular(Rm, jnp.where(mask, g[:m], 0.0))
+        dx = V[:m].T @ y
+        return x + dx, res, nmv + j + 1, res <= tol
+
+    def cond(carry):
+        _, res, nmv, done = carry
+        return jnp.logical_and(~done, nmv < maxiter)
+
+    x0 = jnp.zeros_like(b)
+    x, res, nmv, _ = jax.lax.while_loop(
+        cond, cycle, (x0, b_norm, jnp.array(0), b_norm <= tol))
+    return x, res, nmv
+
+
+# ---------------------------------------------------------------------------
+# BiCGStab — cheaper per-iteration alternative for non-symmetric systems
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class BiCGStab:
+    maxiter: int = 500
+    rtol: float = 1e-8
+    atol: float = 1e-12
+    precond: Optional[Callable] = None
+
+    def __call__(self, J, rhs, a0=0.0, a1=1.0):
+        flat_rhs, unravel = ravel(rhs)
+
+        def matvec(xf):
+            out = shifted_apply(J, unravel(xf), a0, a1)
+            if self.precond is not None:
+                out = self.precond(out)
+            of, _ = ravel(out)
+            return of
+
+        b = flat_rhs
+        if self.precond is not None:
+            b, _ = ravel(self.precond(unravel(flat_rhs)))
+        b_norm = jnp.linalg.norm(b)
+        tol = jnp.maximum(self.rtol * b_norm, self.atol)
+
+        x0 = jnp.zeros_like(b)
+        r0 = b
+        rhat = r0
+
+        def body(carry):
+            x, r, p, v, rho, alpha, omega, k, _ = carry
+            rho1 = jnp.vdot(rhat, r)
+            beta = (rho1 / jnp.where(rho == 0, 1e-300, rho)) * (
+                alpha / jnp.where(omega == 0, 1e-300, omega))
+            p = r + beta * (p - omega * v)
+            v = matvec(p)
+            alpha = rho1 / jnp.where(jnp.vdot(rhat, v) == 0, 1e-300,
+                                     jnp.vdot(rhat, v))
+            s = r - alpha * v
+            t = matvec(s)
+            tt = jnp.vdot(t, t)
+            omega = jnp.vdot(t, s) / jnp.where(tt == 0, 1e-300, tt)
+            x = x + alpha * p + omega * s
+            r = s - omega * t
+            res = jnp.linalg.norm(r)
+            return x, r, p, v, rho1, alpha, omega, k + 1, res
+
+        def cond(carry):
+            *_, k, res = carry
+            return jnp.logical_and(res > tol, k < self.maxiter)
+
+        one = jnp.asarray(1.0, b.dtype)
+        init = (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one,
+                jnp.array(0), b_norm)
+        x, *_, k, res = jax.lax.while_loop(cond, body, init)
+        return unravel(x), res <= tol, k
