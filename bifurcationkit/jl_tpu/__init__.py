@@ -21,6 +21,15 @@ from .core import (BifurcationProblem, BorderedState, ContinuationPar,
                    as_lens, lens_get, lens_set, setfield)
 from .linalg import (ArnoldiEig, BiCGStab, DenseEig, DenseLS, FlatOperator,
                      GMRES, ShiftInvertEig)
+from .linalg.bordered import (BorderingBLS, LSFromBLS, MatrixBLS,
+                              MatrixFreeBLS)
 from .newton import NonLinearSolution, cb_max_norm, newton
+from .continuation import (AutoSwitch, Bordered, Branch, ContIterable,
+                           ContResult, ContState, MoorePenrose, Multiple,
+                           Natural, PALC, Polynomial, Secant, continuation,
+                           merge_branches)
+from .detection import (ContinuousEvent, DiscreteEvent, PairOfEvents,
+                        SetOfEvents, SpecialPoint, fold_detect_event,
+                        save_at_event)
 
 __version__ = "0.1.0"

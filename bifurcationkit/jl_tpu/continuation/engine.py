@@ -1,0 +1,302 @@
+"""Continuation engine (ref src/Continuation.jl).
+
+The reference drives a Julia iterator (`ContIterable`/`ContState`/`iterate`,
+ref :27-39,140-182,349-504).  Here the same shape becomes: device-resident
+state (`BorderedState` z, tangent tau) advanced by jitted step kernels, with
+a thin host loop doing step-size control, detection, bisection and recording
+on scalars.  A continuation of a PDE never ships the state to the host
+unless solution-saving is enabled.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.params import ContinuationPar
+from ..core.state import BorderedState, tree_axpy, tree_norm
+from ..detection.points import SpecialPoint
+from .algorithms import PALC, AutoSwitch, MoorePenrose, Multiple, Natural
+from .kernels import make_kernels
+from .results import Branch, ContResult, merge_branches
+from .tangents import Bordered, Polynomial, Secant
+
+
+@dataclasses.dataclass
+class ContState:
+    """Host orchestration state (ref `ContState`, src/Continuation.jl:140).
+    z/tau are device pytrees; scalars live on host for control flow."""
+
+    z: BorderedState = None          # last converged point
+    z_old: BorderedState = None      # previous converged point
+    tau: BorderedState = None        # unit tangent (theta-norm)
+    ds: float = 0.01
+    step: int = 0
+    converged: bool = True
+    itnewton: int = 0
+    itlinear: int = 0
+    res: float = 0.0
+    eigvals: Optional[np.ndarray] = None
+    eigvecs: Any = None
+    converged_eig: bool = True
+    n_unstable: Tuple[int, int] = (-1, -1)   # (current, previous)
+    n_imag: Tuple[int, int] = (-1, -1)
+    stopcontinuation: bool = False
+    stepsizecontrol: bool = True
+    in_bisection: bool = False
+    event_values: Optional[tuple] = None     # (current, previous)
+
+    def copy(self) -> "ContState":
+        return dataclasses.replace(self)
+
+    @property
+    def p(self) -> float:
+        return float(self.z.p)
+
+    @property
+    def p_old(self) -> float:
+        return float(self.z_old.p)
+
+
+class ContIterable:
+    """Everything needed to run one continuation (ref src/Continuation.jl:27)."""
+
+    def __init__(self, prob, alg, contparams: ContinuationPar,
+                 norm: Callable = tree_norm,
+                 finalise_solution: Optional[Callable] = None,
+                 callback_newton: Optional[Callable] = None,
+                 event=None,
+                 verbosity: int = 0,
+                 kind: str = "EquilibriumCont"):
+        self.prob = prob
+        self.alg = alg
+        self.contparams = contparams
+        self.norm = norm
+        self.finalise_solution = finalise_solution
+        self.callback_newton = callback_newton
+        self.event = event
+        self.verbosity = verbosity
+        self.kind = kind
+        base_alg = alg.alg if isinstance(alg, (AutoSwitch, Multiple)) else alg
+        self.base_alg = base_alg
+        self.kernels = make_kernels(prob, base_alg, contparams, norm)
+        # AutoSwitch dynamic mode: 'natural' | 'palc'
+        self._autoswitch_mode = ("natural" if isinstance(alg, AutoSwitch)
+                                 else None)
+
+    # ------------------------------------------------------------------
+    # initialization: two Newton solves + secant tangent
+    # (ref iterate(it) first point, src/Continuation.jl:349-446)
+    # ------------------------------------------------------------------
+    def init_state(self, x0=None, params=None) -> ContState:
+        cp = self.contparams
+        params = self.prob.params if params is None else params
+        x0 = self.prob.u0 if x0 is None else x0
+        p0 = float(self.prob.get_lens_param(params))
+        ds = cp.ds
+
+        u0, cv0, it0, itl0, res0 = self.kernels.newton_fixed(
+            x0, jnp.asarray(p0), params)
+        if not bool(cv0):
+            raise RuntimeError(
+                f"Newton failed to converge on the initial guess at p = {p0} "
+                f"(residual {float(res0):.3e})")
+
+        # second point at p0 + ds / eta for the secant tangent
+        p1 = p0 + ds / cp.eta
+        u1, cv1, _, _, res1 = self.kernels.newton_fixed(
+            u0, jnp.asarray(p1), params)
+        if not bool(cv1):
+            raise RuntimeError(
+                f"Newton failed on the second point at p = {p1}")
+
+        z0 = BorderedState(u=u0, p=jnp.asarray(p0))
+        z1 = BorderedState(u=u1, p=jnp.asarray(p1))
+        tau = self.kernels.secant_tangent(z1, z0, jnp.asarray(ds))
+        state = ContState(z=z0, z_old=z0, tau=tau, ds=ds, step=0,
+                          converged=True, itnewton=int(it0), res=float(res0))
+        if cp.compute_eigenelements:
+            self.compute_eig(state)
+            state.n_unstable = (state.n_unstable[0], state.n_unstable[0])
+            state.n_imag = (state.n_imag[0], state.n_imag[0])
+        return state
+
+    # ------------------------------------------------------------------
+    # eigen-elements + stability counters (ref is_stable, Bifurcations.jl:5)
+    # ------------------------------------------------------------------
+    def compute_eig(self, state: ContState):
+        vals, vecs, cv = self.kernels.eig(state.z.u, state.z.p,
+                                          self._params())
+        vals_np = np.asarray(vals)
+        tol = self.contparams.tol_stability
+        n_unstable = int(np.sum(vals_np.real > tol))
+        n_imag = int(np.sum((np.abs(vals_np.imag) > tol)
+                            & (vals_np.real > tol)))
+        state.eigvals = vals_np
+        state.eigvecs = vecs
+        state.converged_eig = bool(cv)
+        state.n_unstable = (n_unstable, state.n_unstable[0])
+        state.n_imag = (n_imag, state.n_imag[0])
+
+    def _params(self):
+        return self.prob.params
+
+    # ------------------------------------------------------------------
+    # one continuation step (ref iterate(it, state), src/Continuation.jl:458)
+    # ------------------------------------------------------------------
+    def iterate(self, state: ContState):
+        cp = self.contparams
+        ds = state.ds
+        tau_p = float(state.tau.p)
+        p_pred = state.p + ds * tau_p
+
+        use_natural = isinstance(self.alg, Natural)
+        if self._autoswitch_mode is not None:
+            # AutoSwitch: steep branch -> PALC, shallow -> Natural
+            # (ref src/continuation/AutoSwitch.jl:59-74)
+            steep = (1.0 - self.kernels.theta) * abs(tau_p) > \
+                getattr(self.alg, "tol_param", 0.5)
+            use_natural = not steep
+            self._autoswitch_mode = "natural" if use_natural else "palc"
+
+        if use_natural:
+            p_new = float(np.clip(state.p + ds, cp.p_min, cp.p_max))
+            u_new, cv, itn, itl, res = self.kernels.newton_fixed(
+                state.z.u, jnp.asarray(p_new), self._params())
+            z_new = BorderedState(u=u_new, p=jnp.asarray(p_new))
+        elif p_pred <= cp.p_min or p_pred >= cp.p_max:
+            # PALC fallback to Natural at the parameter-domain boundary
+            # (ref corrector! dispatch, src/continuation/Palc.jl:157-166)
+            p_clamped = float(np.clip(p_pred, cp.p_min, cp.p_max))
+            u_pred = tree_axpy(ds, state.tau.u, state.z.u)
+            u_new, cv, itn, itl, res = self.kernels.newton_fixed(
+                u_pred, jnp.asarray(p_clamped), self._params())
+            z_new = BorderedState(u=u_new, p=jnp.asarray(p_clamped))
+        elif isinstance(self.base_alg, MoorePenrose):
+            z_pred = BorderedState(
+                u=tree_axpy(ds, state.tau.u, state.z.u),
+                p=state.z.p + ds * state.tau.p)
+            z_new, tau_new, cv, itn, itl, res = self.kernels.mp_corrector(
+                z_pred, state.z, state.tau, jnp.asarray(ds), self._params())
+            if bool(cv):
+                state.tau = tau_new
+        else:
+            z_pred = BorderedState(
+                u=tree_axpy(ds, state.tau.u, state.z.u),
+                p=state.z.p + ds * state.tau.p)
+            z_new, cv, itn, itl, res = self.kernels.palc_corrector(
+                z_pred, state.z, state.tau, jnp.asarray(ds), self._params())
+
+        state.converged = bool(cv)
+        state.itnewton = int(itn)
+        state.itlinear = int(itl)
+        state.res = float(res)
+        if state.converged:
+            state.z_old = state.z
+            state.z = z_new
+            if cp.compute_eigenelements:
+                self.compute_eig(state)
+        if state.stepsizecontrol:
+            self.step_size_control(state)
+        self.update_predictor(state)
+        state.step += 1
+        return state
+
+    # ------------------------------------------------------------------
+    # step-size control (ref _step_size_control!, Contbase.jl:77-160)
+    # ------------------------------------------------------------------
+    def step_size_control(self, state: ContState):
+        cp = self.contparams
+        ds = state.ds
+        if not state.converged:
+            if abs(ds) <= cp.dsmin:
+                state.stopcontinuation = True
+                if self.verbosity > 0:
+                    print(f"!! Newton failed at dsmin — stopping at step "
+                          f"{state.step}")
+                return
+            dsnew = np.sign(ds) * max(abs(ds) / 2, cp.dsmin)
+        else:
+            nmax = cp.newton_options.max_iterations
+            factor = (nmax - state.itnewton) / nmax
+            dsnew = ds * (1 + cp.a * factor ** 2)
+        state.ds = float(np.sign(dsnew) *
+                         np.clip(abs(dsnew), cp.dsmin, cp.dsmax))
+        state.stopcontinuation = False
+
+    # ------------------------------------------------------------------
+    # predictor / tangent update (ref getpredictor!, Palc.jl:125)
+    # ------------------------------------------------------------------
+    def update_predictor(self, state: ContState):
+        tangent = getattr(self.alg, "tangent", Secant())
+        if isinstance(self.base_alg, MoorePenrose):
+            return  # tangent updated inside the corrector
+        if isinstance(tangent, Bordered) and state.converged:
+            state.tau = self.kernels.bordered_tangent(
+                state.z, state.tau, self._params())
+        else:
+            # Secant (and Polynomial fallback until implemented on-device)
+            if state.z is not state.z_old:
+                state.tau = self.kernels.secant_tangent(
+                    state.z, state.z_old, jnp.asarray(state.ds))
+
+    # ------------------------------------------------------------------
+    # recording (ref save!/get_state_summary, src/Continuation.jl:259-305)
+    # ------------------------------------------------------------------
+    def record(self, state: ContState) -> dict:
+        par = self.prob.set_lens_param(self._params(), state.z.p)
+        rec = self.prob.record_from_solution(state.z.u, state.p)
+        if not isinstance(rec, dict):
+            rec = {"record": np.asarray(jax.device_get(rec))}
+        rec = {k: np.asarray(jax.device_get(v)) for k, v in rec.items()}
+        rec.update({
+            "param": state.p,
+            "itnewton": state.itnewton,
+            "itlinear": state.itlinear,
+            "ds": state.ds,
+            "n_unstable": state.n_unstable[0],
+            "n_imag": state.n_imag[0],
+            "stable": state.n_unstable[0] == 0,
+            "step": state.step,
+        })
+        return rec
+
+    def save(self, res: ContResult, state: ContState):
+        cp = self.contparams
+        res.append(self.record(state))
+        if cp.compute_eigenelements and state.eigvals is not None and \
+                state.step % cp.save_eig_every_step == 0:
+            res.eig.append({
+                "eigenvals": state.eigvals.copy(),
+                "eigenvecs": (np.asarray(state.eigvecs)
+                              if (cp.save_eigenvectors and
+                                  state.eigvecs is not None) else None),
+                "step": state.step,
+                "converged": state.converged_eig,
+            })
+        if cp.save_sol_every_step > 0 and \
+                state.step % cp.save_sol_every_step == 0:
+            x = state.z.u
+            if self.prob.save_solution is not None:
+                par = self.prob.set_lens_param(self._params(), state.z.p)
+                x = self.prob.save_solution(x, par)
+            res.sol.append({"x": x, "p": state.p, "step": state.step})
+
+    # ------------------------------------------------------------------
+    def done(self, state: ContState) -> bool:
+        cp = self.contparams
+        if state.stopcontinuation:
+            return True
+        if state.step >= cp.max_steps:
+            return True
+        # stalled at a parameter bound: previous and current point both
+        # clamped to the same boundary value
+        if state.step > 1 and state.converged:
+            for bound in (cp.p_min, cp.p_max):
+                if (abs(state.p - bound) < 1e-13 and
+                        abs(state.p_old - bound) < 1e-13):
+                    return True
+        return False

@@ -1,0 +1,257 @@
+"""Jitted per-step kernels for the continuation engine.
+
+Each kernel is a single XLA computation: predictor, bordered-Newton
+corrector, tangent, and eigensolve all run device-side; the host engine
+only orchestrates (step-size control, detection, bisection, recording) on
+scalars (ref control flow: src/Continuation.jl:349-504).
+"""
+from __future__ import annotations
+
+import dataclasses
+from types import SimpleNamespace
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..core.params import ContinuationPar
+from ..core.state import (BorderedState, DotTheta, tree_axpy, tree_norm,
+                          tree_scale, tree_size, tree_sub, tree_vdot,
+                          tree_zeros_like)
+from ..linalg.bordered import BorderingBLS, MatrixBLS, MatrixFreeBLS
+from ..linalg.eig import ArnoldiEig, DenseEig, FlatOperator
+from ..linalg.linear import DenseLS, is_operator
+from .algorithms import PALC, MoorePenrose, MoorePenroseLS, Natural
+from .tangents import Bordered, Polynomial, Secant
+
+
+def default_bls(alg, newton_opts):
+    """Choose/complete the bordered linear solver: inject the Newton linear
+    solver (ref `update(alg, contParams, linear_algo)`, Palc.jl:100-110)."""
+    bls = getattr(alg, "bls", None)
+    if bls is None:
+        return BorderingBLS(solver=newton_opts.linsolver)
+    if getattr(bls, "solver", "missing") is None:
+        return dataclasses.replace(bls, solver=newton_opts.linsolver)
+    return bls
+
+
+def _pick_jac(prob, linsolver):
+    if isinstance(linsolver, DenseLS) or getattr(linsolver, "needs_matrix",
+                                                 False):
+        return prob.jacobian
+    return prob.jacobian_operator
+
+
+def make_kernels(prob, alg, contparams: ContinuationPar,
+                 norm: Callable = tree_norm, dot_theta: DotTheta = None):
+    """Build the jitted kernels for one (problem, algorithm, options) triple."""
+    nopts = contparams.newton_options
+    theta = float(getattr(alg, "theta", 0.5))
+    dot_t = dot_theta or DotTheta()
+    n_state = tree_size(prob.u0)
+    bls = default_bls(alg, nopts)
+    jac = _pick_jac(prob, nopts.linsolver)
+    p_min, p_max = contparams.p_min, contparams.p_max
+
+    def dotp(x, y):
+        d = jnp.real(tree_vdot(x, y))
+        return d / n_state if dot_t.normalize else d
+
+    def set_p(params, p):
+        return prob.set_lens_param(params, p)
+
+    # ------------------------------------------------------------------
+    # plain Newton at fixed parameter (init & Natural corrector)
+    # ------------------------------------------------------------------
+    @jax.jit
+    def newton_fixed(u, p, params):
+        par = set_p(params, p)
+        ls = nopts.linsolver
+        res_f0 = prob.residual(u, par)
+        res0 = norm(res_f0)
+
+        def cond(c):
+            x, rf, r, k, itl = c
+            return jnp.logical_and(r > nopts.tol, k < nopts.max_iterations)
+
+        def body(c):
+            x, rf, r, k, itl = c
+            J = jac(x, par)
+            du, cv, itlin = ls(J, rf)
+            x = tree_sub(x, du)
+            rf = prob.residual(x, par)
+            return x, rf, norm(rf), k + 1, itl + itlin
+
+        x, rf, r, k, itl = jax.lax.while_loop(
+            cond, body, (u, res_f0, res0, jnp.array(0), jnp.array(0)))
+        return x, r <= nopts.tol, k, itl, r
+
+    # ------------------------------------------------------------------
+    # PALC bordered-Newton corrector (ref newton_palc, Palc.jl:187-305)
+    # ------------------------------------------------------------------
+    @jax.jit
+    def palc_corrector(z_pred: BorderedState, z0: BorderedState,
+                       tau: BorderedState, ds, params):
+        def N_eq(u, p):
+            # theta <u - z0.u, tau.u>/n + (1-theta)(p - z0.p) tau.p - ds
+            du = tree_sub(u, z0.u)
+            return (dotp(du, tau.u) * theta
+                    + (p - z0.p) * tau.p * (1.0 - theta) - ds)
+
+        def full_res(u, p):
+            par = set_p(params, p)
+            rf = prob.residual(u, par)
+            rn = N_eq(u, p)
+            return rf, rn, jnp.maximum(norm(rf), jnp.abs(rn))
+
+        rf0, rn0, r0 = full_res(z_pred.u, z_pred.p)
+
+        def cond(c):
+            u, p, rf, rn, r, k, itl, ok = c
+            return jnp.logical_and(
+                jnp.logical_and(r > nopts.tol, k < nopts.max_iterations), ok)
+
+        def body(c):
+            u, p, rf, rn, r, k, itl, ok = c
+            par = set_p(params, p)
+            dFdp = prob.dFdp(u, par)
+            J = jac(u, par)
+            du, dp, cv_l, itlin = bls(J, dFdp, tau.u, tau.p, rf, rn,
+                                      theta, 1.0 - theta, dotp=dotp)
+            u = tree_sub(u, du)
+            p = jnp.clip(p - dp, p_min, p_max)
+            rf, rn, r = full_res(u, p)
+            return u, p, rf, rn, r, k + 1, itl + itlin, ok
+
+        u, p, rf, rn, r, k, itl, _ = jax.lax.while_loop(
+            cond, body,
+            (z_pred.u, jnp.asarray(z_pred.p), rf0, rn0, r0, jnp.array(0),
+             jnp.array(0), jnp.array(True)))
+        return (BorderedState(u=u, p=p), r <= nopts.tol, k, itl, r)
+
+    # ------------------------------------------------------------------
+    # Moore-Penrose corrector (ref newton_moore_penrose, MoorePenrose.jl:129)
+    # Gauss-Newton on the extended system with the tangent as the extra row;
+    # the tangent itself is updated from the bordered solve each iteration.
+    # ------------------------------------------------------------------
+    @jax.jit
+    def mp_corrector(z_pred: BorderedState, z0: BorderedState,
+                     tau0: BorderedState, ds, params):
+        def res_only(u, p):
+            par = set_p(params, p)
+            rf = prob.residual(u, par)
+            return rf, norm(rf)
+
+        rf0, r0 = res_only(z_pred.u, z_pred.p)
+
+        def cond(c):
+            u, p, tu, tp, rf, r, k, itl = c
+            return jnp.logical_and(r > nopts.tol, k < nopts.max_iterations)
+
+        def body(c):
+            u, p, tu, tp, rf, r, k, itl = c
+            par = set_p(params, p)
+            dFdp = prob.dFdp(u, par)
+            J = jac(u, par)
+            # solve [J dFdp; tau'][du; dp] = [rf; 0]
+            du, dp, cv_l, itlin = bls(J, dFdp, tu, tp, rf,
+                                      jnp.asarray(0.0), theta, 1.0 - theta,
+                                      dotp=dotp)
+            # update tangent: solve [J dFdp; tau'][tu'; tp'] = [0; 1]
+            ntu, ntp, _, _ = bls(J, dFdp, tu, tp, tree_zeros_like(u),
+                                 jnp.asarray(1.0), theta, 1.0 - theta,
+                                 dotp=dotp)
+            nrm = jnp.sqrt(dotp(ntu, ntu) * theta
+                           + ntp * ntp * (1.0 - theta))
+            ntu = tree_scale(ntu, 1.0 / nrm)
+            ntp = ntp / nrm
+            u = tree_sub(u, du)
+            p = jnp.clip(p - dp, p_min, p_max)
+            rf, r = res_only(u, p)
+            return u, p, ntu, ntp, rf, r, k + 1, itl + itlin
+
+        u, p, tu, tp, rf, r, k, itl = jax.lax.while_loop(
+            cond, body, (z_pred.u, jnp.asarray(z_pred.p), tau0.u,
+                         jnp.asarray(tau0.p), rf0, r0, jnp.array(0),
+                         jnp.array(0)))
+        return (BorderedState(u=u, p=p), BorderedState(u=tu, p=tp),
+                r <= nopts.tol, k, itl, r)
+
+    # ------------------------------------------------------------------
+    # tangents
+    # ------------------------------------------------------------------
+    @jax.jit
+    def secant_tangent(z_new: BorderedState, z_old: BorderedState, ds):
+        d = tree_sub(z_new, z_old)
+        nrm = dot_t.norm_bs(d, theta, n_state)
+        alpha = jnp.sign(ds) / jnp.maximum(nrm, 1e-300)
+        return BorderedState(u=tree_scale(d.u, alpha), p=d.p * alpha)
+
+    @jax.jit
+    def bordered_tangent(z: BorderedState, tau_prev: BorderedState, params):
+        par = set_p(params, z.p)
+        dFdp = prob.dFdp(z.u, par)
+        J = jac(z.u, par)
+        tu, tp, cv, _ = bls(J, dFdp, tau_prev.u, tau_prev.p,
+                            tree_zeros_like(z.u), jnp.asarray(1.0),
+                            theta, 1.0 - theta, dotp=dotp)
+        nrm = jnp.sqrt(dotp(tu, tu) * theta + tp * tp * (1.0 - theta))
+        orient = jnp.sign(dotp(tau_prev.u, tu) * theta
+                          + tau_prev.p * tp * (1.0 - theta))
+        alpha = orient / jnp.maximum(nrm, 1e-300)
+        return BorderedState(u=tree_scale(tu, alpha), p=tp * alpha)
+
+    # ------------------------------------------------------------------
+    # eigen-elements (ref compute_eigenvalues, src/Utils.jl:67-105)
+    # ------------------------------------------------------------------
+    eigsolver = nopts.eigsolver
+    nev = min(contparams.nev, n_state)
+
+    # dense-matrix eigensolvers get jacfwd; iterative ones get a jvp operator
+    from .. import linalg as _linalg
+
+    eig_needs_matrix = (
+        isinstance(eigsolver, DenseEig)
+        or (isinstance(eigsolver, _linalg.ShiftInvertEig)
+            and eigsolver.linsolver is None))
+
+    @jax.jit
+    def eig_kernel(u, p, params):
+        par = set_p(params, p)
+        if eig_needs_matrix:
+            J = prob.jacobian(u, par)
+        else:
+            J = FlatOperator(_flat_op(prob, u, par), n_state)
+        vals, vecs, cv, _ = eigsolver(J, nev)
+        if not contparams.save_eigenvectors:
+            vecs = None
+        return vals, vecs, cv
+
+    return SimpleNamespace(
+        newton_fixed=newton_fixed,
+        palc_corrector=palc_corrector,
+        mp_corrector=mp_corrector,
+        secant_tangent=secant_tangent,
+        bordered_tangent=bordered_tangent,
+        eig=eig_kernel,
+        theta=theta,
+        n_state=n_state,
+        nev=nev,
+        bls=bls,
+        dotp=dotp,
+        dot_t=dot_t,
+    )
+
+
+def _flat_op(prob, u, par):
+    from ..core.state import ravel
+
+    flat0, unravel = ravel(u)
+
+    def op(v):
+        out = prob.dF(u, par, unravel(v))
+        of, _ = ravel(out)
+        return of
+
+    return op

@@ -1,0 +1,156 @@
+"""Model library: the reference's example/test problems rebuilt as JAX
+residuals (used by tests and benchmarks; ref examples/*.jl, test fixtures).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.problem import BifurcationProblem
+
+
+def chan(n: int = 101, alpha: float = 3.3, beta: float = 0.01):
+    """1D Chan BVP (ref examples/chan.jl:10-23): Dirichlet BCs u(0)=u(1)=beta,
+    interior (u[i-1] - 2u[i] + u[i+1])(n-1)^2 + alpha*Nl(u[i], b=beta) with
+    Nl(x) = 1 + (x + a x^2)/(1 + b x^2), a = 0.5.  Fold near alpha ~ 3.32."""
+
+    def Nl(x, b, a=0.5):
+        return 1.0 + (x + a * x ** 2) / (1.0 + b * x ** 2)
+
+    def F(u, par):
+        a, b = par["alpha"], par["beta"]
+        interior = (u[:-2] - 2 * u[1:-1] + u[2:]) * (n - 1) ** 2 \
+            + a * Nl(u[1:-1], b)
+        return jnp.concatenate([u[:1] - b, interior, u[-1:] - b])
+
+    i = np.arange(1, n + 1)
+    u0 = jnp.asarray((i - 1) * (n - i) / n ** 2 + 0.1)
+    return BifurcationProblem(F, u0=u0,
+                              params={"alpha": alpha, "beta": beta},
+                              lens="alpha")
+
+
+def transcritical_1d(p: float = -0.5):
+    """F(u, p) = p*u - u^2: transcritical branch point at (0, 0)."""
+
+    def F(u, par):
+        return par["p"] * u - u ** 2
+
+    return BifurcationProblem(F, u0=jnp.zeros(1), params={"p": p}, lens="p")
+
+
+def pitchfork_1d(p: float = -0.5):
+    """F(u, p) = p*u - u^3: supercritical pitchfork at (0, 0)."""
+
+    def F(u, par):
+        return par["p"] * u - u ** 3
+
+    return BifurcationProblem(F, u0=jnp.zeros(1), params={"p": p}, lens="p")
+
+
+def hopf_normal_2d(p: float = -0.5, omega: float = 1.0, l1: float = -1.0):
+    """Planar Hopf normal form: z' = (p + i omega) z + l1 z |z|^2.
+    Hopf bifurcation at p = 0 with frequency `omega`."""
+
+    def F(u, par):
+        x, y = u[0], u[1]
+        mu = par["p"]
+        r2 = x * x + y * y
+        return jnp.array([mu * x - omega * y + l1 * x * r2,
+                          omega * x + mu * y + l1 * y * r2])
+
+    return BifurcationProblem(F, u0=jnp.zeros(2), params={"p": p}, lens="p")
+
+
+def stuart_landau(r: float = 0.5, mu: float = 0.1, nu: float = 1.0,
+                  c3: float = 1.0, c5: float = 0.0):
+    """Stuart-Landau oscillator in real coordinates
+    (ref test/periodic_orbits_function_fd/stuartLandau*.jl)."""
+
+    def F(u, par):
+        x, y = u[0], u[1]
+        rr = par["r"]
+        m = par["mu"]
+        n_ = par["nu"]
+        cc3 = par["c3"]
+        cc5 = par["c5"]
+        ua = x * x + y * y
+        za = (rr + 1j * m) * (x + 1j * y) \
+            - (1 + 1j * n_) * cc3 * ua * (x + 1j * y) \
+            - cc5 * ua ** 2 * (x + 1j * y)
+        return jnp.array([jnp.real(za), jnp.imag(za)])
+
+    return BifurcationProblem(
+        F, u0=jnp.array([0.01, 0.01]),
+        params={"r": r, "mu": mu, "nu": nu, "c3": c3, "c5": c5}, lens="r")
+
+
+def lorenz84(params=None):
+    """Lorenz-84 atmospheric model (ref test/hopf_codim_2/lorenz84.jl):
+    rich codim-2 structure (BT, ZH, HH on fold/hopf curves)."""
+    if params is None:
+        params = {"a": 0.25, "b": 4.0, "G": 0.25, "F": 1.0}
+
+    def F(u, par):
+        X, Y, Z, U = u[0], u[1], u[2], u[3]
+        a, b, G, Ff = par["a"], par["b"], par["G"], par["F"]
+        return jnp.array([
+            -Y ** 2 - Z ** 2 - a * X + a * Ff - G * U ** 2,
+            X * Y - b * X * Z - Y + G,
+            b * X * Y + X * Z - Z,
+            -G * U + G * X * U,
+        ])
+
+    u0 = jnp.array([1.0, 0.0, 0.0, 0.0])
+    return BifurcationProblem(F, u0=u0, params=params, lens="F")
+
+
+def co_oxidation(params=None):
+    """CO-oxidation model (ref test/hopf_codim_2/COModel.jl):
+    fold & hopf curves with GH points."""
+    if params is None:
+        params = {"q1": 2.5, "q2": 2.0, "q3": 10.0, "q4": 0.0675,
+                  "q5": 1.0, "q6": 0.1, "k": 0.4}
+
+    def F(u, par):
+        x, y, s = u[0], u[1], u[2]
+        q1, q2, q3, q4 = par["q1"], par["q2"], par["q3"], par["q4"]
+        q5, q6, k = par["q5"], par["q6"], par["k"]
+        z = 1 - x - y - s
+        return jnp.array([
+            2 * q1 * z ** 2 - 2 * q5 * x ** 2 - q3 * x * y,
+            q2 * z - q6 * y - q3 * x * y,
+            q4 * z - k * q4 * s,
+        ])
+
+    u0 = jnp.array([0.07792759, 0.38299565, 0.26730475])
+    return BifurcationProblem(F, u0=u0, params=params, lens="q2")
+
+
+def brusselator_1d(n: int = 100, alpha: float = 2.0, beta: float = 5.45,
+                   D1: float = 0.008, D2: float = 0.004, l: float = 0.3):
+    """1D Brusselator reaction-diffusion (ref examples/brusselator.jl:26-49,
+    par at :93): Dirichlet BCs u=alpha, v=beta/alpha at both ends, h = 1/n,
+    continued in the domain length `l`; Hopf bifurcations along the branch."""
+
+    h = 1.0 / n
+
+    def F(uv, par):
+        a = par["alpha"]
+        b = par["beta"]
+        ll = par["l"]
+        u = uv[:n]
+        v = uv[n:]
+        c1 = par["D1"] / (ll ** 2 * h ** 2)
+        c2 = par["D2"] / (ll ** 2 * h ** 2)
+        u_ext = jnp.concatenate([jnp.array([a]), u, jnp.array([a])])
+        v_ext = jnp.concatenate([jnp.array([b / a]), v, jnp.array([b / a])])
+        lap_u = u_ext[:-2] - 2 * u_ext[1:-1] + u_ext[2:]
+        lap_v = v_ext[:-2] - 2 * v_ext[1:-1] + v_ext[2:]
+        fu = c1 * lap_u + a - (b + 1) * u + u * u * v
+        fv = c2 * lap_v + b * u - u * u * v
+        return jnp.concatenate([fu, fv])
+
+    u0 = jnp.concatenate([jnp.full((n,), alpha), jnp.full((n,), beta / alpha)])
+    params = {"alpha": alpha, "beta": beta, "D1": D1, "D2": D2, "l": l}
+    return BifurcationProblem(F, u0=u0, params=params, lens="l")

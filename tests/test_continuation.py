@@ -1,0 +1,156 @@
+"""Continuation engine tests (mirrors ref test/continuation/simple_continuation.jl
+and test/continuation/test_bif_detection.jl)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bifurcationkit.jl_tpu as bk
+from bifurcationkit.jl_tpu import models
+
+
+def _cp(**kw):
+    base = dict(ds=0.01, dsmax=0.05, dsmin=1e-4, p_min=-1.0, p_max=1.0,
+                max_steps=200, detect_bifurcation=3, nev=2, n_inversion=6,
+                max_bisection_steps=30,
+                newton_options=bk.NewtonPar(tol=1e-10))
+    base.update(kw)
+    return bk.ContinuationPar(**base)
+
+
+def test_palc_simple_branch():
+    # F(u, p) = u^3 - u - p : smooth fold-containing branch
+    def F(u, par):
+        return u ** 3 - u - par["p"]
+
+    prob = bk.BifurcationProblem(F, u0=jnp.array([-1.1]),
+                                 params={"p": -0.3}, lens="p")
+    br = bk.continuation(prob, bk.PALC(), _cp(detect_bifurcation=0,
+                                              detect_fold=True))
+    assert len(br) > 10
+    # the cubic has folds at p = ±2/(3 sqrt(3)) ≈ ±0.3849
+    folds = br.get_special_points("fold")
+    assert len(folds) >= 1
+    assert abs(abs(folds[0].param) - 2 / (3 * np.sqrt(3))) < 0.02
+
+
+def test_palc_monotone_branch_natural_match():
+    # monotone branch continued by both algorithms must agree
+    def F(u, par):
+        return jnp.array([jnp.tanh(u[0]) + u[0] - par["p"]])
+
+    prob = bk.BifurcationProblem(F, u0=jnp.zeros(1), params={"p": 0.0},
+                                 lens="p")
+    cp = _cp(detect_bifurcation=0, detect_fold=False, p_min=-0.9, p_max=0.9)
+    br1 = bk.continuation(prob, bk.PALC(), cp)
+    br2 = bk.continuation(prob, bk.Natural(), cp)
+    # compare solutions at a matching parameter by interpolation
+    p_test = 0.5
+    i1 = np.argmin(np.abs(br1.param - p_test))
+    i2 = np.argmin(np.abs(br2.param - p_test))
+    n1 = br1["norm"][i1]
+    n2 = br2["norm"][i2]
+    assert abs(n1 - n2) < 5e-2
+    # both should reach the upper bound
+    assert br1.param.max() > 0.89
+    assert br2.param.max() > 0.89
+
+
+def test_bordered_tangent_palc():
+    def F(u, par):
+        return u ** 3 - u - par["p"]
+
+    prob = bk.BifurcationProblem(F, u0=jnp.array([-1.1]),
+                                 params={"p": -0.3}, lens="p")
+    br = bk.continuation(prob, bk.PALC(tangent=bk.Bordered()),
+                         _cp(detect_bifurcation=0))
+    folds = br.get_special_points("fold")
+    assert len(folds) >= 1
+
+
+def test_bifurcation_detection_pitchfork():
+    prob = models.pitchfork_1d(p=-0.5)
+    br = bk.continuation(prob, bk.PALC(), _cp())
+    bps = br.get_special_points("bp")
+    assert len(bps) == 1
+    bp = bps[0]
+    # bisection localizes the BP at p = 0
+    assert abs(bp.param) < 3e-3
+    # interval invariant (ref test_bif_detection.jl:47)
+    assert bp.interval[0] <= bp.param <= bp.interval[1]
+    assert bp.status in ("converged", "guess", "guessL")
+
+
+def test_bifurcation_detection_hopf():
+    prob = models.hopf_normal_2d(p=-0.5)
+    br = bk.continuation(prob, bk.PALC(), _cp())
+    hopfs = br.get_special_points("hopf")
+    assert len(hopfs) == 1
+    hp = hopfs[0]
+    assert abs(hp.param) < 3e-3
+    assert hp.interval[0] <= hp.param <= hp.interval[1]
+    # delta records two eigenvalues crossing with imaginary parts
+    assert abs(hp.delta[0]) == 2
+
+
+def test_stability_recorded():
+    prob = models.pitchfork_1d(p=-0.5)
+    br = bk.continuation(prob, bk.PALC(), _cp())
+    stable = br["stable"]
+    n_un = br["n_unstable"]
+    # trivial branch: stable for p<0, unstable for p>0
+    assert stable[br.param < -0.01].all()
+    assert (n_un[br.param > 0.01] > 0).all()
+
+
+def test_chan_continuation_folds():
+    # the Chan problem continued in alpha shows a fold near 3.33
+    # (ref examples/chan.jl)
+    prob = models.chan(n=101, alpha=3.0)
+    cp = bk.ContinuationPar(ds=0.01, dsmax=0.12, dsmin=1e-5, p_min=0.0,
+                            p_max=4.25, max_steps=150, detect_bifurcation=0,
+                            detect_fold=True,
+                            newton_options=bk.NewtonPar(tol=1e-10))
+    br = bk.continuation(prob, bk.PALC(), cp)
+    folds = br.get_special_points("fold")
+    # S-shaped branch: two folds (verified against an independent dense-Newton
+    # parameter sweep: the lower-branch fold is at alpha = 4.04116)
+    assert len(folds) >= 2
+    assert abs(folds[0].param - 4.0412) < 0.02
+    assert abs(folds[1].param - 3.155) < 0.02
+    # the branch turned: param decreased after the first fold
+    assert br.param[np.argmax(br.param) + 2] < folds[0].param
+
+
+def test_moore_penrose():
+    def F(u, par):
+        return u ** 3 - u - par["p"]
+
+    prob = bk.BifurcationProblem(F, u0=jnp.array([-1.1]),
+                                 params={"p": -0.3}, lens="p")
+    br = bk.continuation(prob, bk.MoorePenrose(),
+                         _cp(detect_bifurcation=0))
+    folds = br.get_special_points("fold")
+    assert len(folds) >= 1
+
+
+def test_bothside():
+    prob = models.pitchfork_1d(p=-0.5)
+    br = bk.continuation(prob, bk.PALC(), _cp(), bothside=True)
+    # parameter range must span both directions from -0.5
+    assert br.param.min() < -0.9
+    assert br.param.max() > 0.5
+    # steps relabelled monotonically
+    steps = br["step"]
+    assert (np.diff(steps) >= 0).all()
+
+
+def test_event_detection():
+    prob = models.pitchfork_1d(p=-0.5)
+    ev = bk.save_at_event([-0.25, 0.25])
+    br = bk.continuation(prob, bk.PALC(),
+                         _cp(detect_bifurcation=1, detect_event=2),
+                         event=ev)
+    pts = [sp for sp in br.specialpoint if sp.type.startswith("save")]
+    assert len(pts) == 2
+    assert abs(pts[0].param - (-0.25)) < 0.05
+    assert abs(pts[1].param - 0.25) < 0.05

@@ -7,26 +7,11 @@ import pytest
 import bifurcationkit.jl_tpu as bk
 
 
-def chan_problem(n=101, alpha=3.0, beta=0.01):
+def chan_problem(n=101, alpha=3.3, beta=0.01):
     """The 1D Chan BVP (ref examples/chan.jl) — the reference's canonical
     minimum end-to-end example."""
-
-    def N_fun(x, b):
-        return x * (1.0 + b * x) / (1.0 + b * x ** 2)
-
-    def F(u, par):
-        a, b = par["alpha"], par["beta"]
-        h = 1.0 / (n - 1)
-        interior = (u[:-2] - 2 * u[1:-1] + u[2:]) / h ** 2 \
-            + a * N_fun(u[1:-1], b)
-        f0 = u[0] - 0.0
-        fn = u[-1] - 0.0
-        return jnp.concatenate([f0[None], interior, fn[None]])
-
-    sol0 = jnp.asarray(np.sin(np.pi * np.linspace(0, 1, n)))
-    return bk.BifurcationProblem(F, u0=sol0,
-                                 params={"alpha": alpha, "beta": beta},
-                                 lens="alpha")
+    from bifurcationkit.jl_tpu import models
+    return models.chan(n=n, alpha=alpha, beta=beta)
 
 
 def test_newton_scalar_quadratic():
