@@ -31,5 +31,8 @@ from .continuation import (AutoSwitch, Bordered, Branch, ContIterable,
 from .detection import (ContinuousEvent, DiscreteEvent, PairOfEvents,
                         SetOfEvents, SpecialPoint, fold_detect_event,
                         save_at_event)
+from .normal_forms import (BifDiagNode, bifurcationdiagram,
+                           continuation_from_bp, get_normal_form,
+                           hopf_normal_form, multicontinuation, predictor)
 
 __version__ = "0.1.0"

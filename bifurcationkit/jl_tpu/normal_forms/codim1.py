@@ -1,0 +1,428 @@
+"""Codim-1 normal forms (ref src/NormalForms.jl).
+
+Lyapunov–Schmidt reduction at simple branch points (1d kernel), Hopf first
+Lyapunov coefficient, and Nd reductions.  The reference convention is kept
+throughout: `inner(x, y) = sum(conj(x) * y)` (VI.inner) and the reduced
+equations
+
+    1d:   a01*dp + a02*dp^2/2 + b11*x*dp + b20*x^2/2 + b30*x^3/6
+    Hopf: da = a*dp*z + b*z|z|^2   (b = first Lyapunov coefficient)
+
+All linear algebra runs on flattened states; for matrix-free problems the
+bordered solves can be swapped for `BorderingBLS(GMRES)`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.state import ravel
+from ..detection.points import (Bautin, BifPoint, BranchPoint, Fold, Hopf,
+                                NdBranchPoint, Pitchfork, Transcritical)
+from ..linalg.bordered import MatrixBLS
+from ..linalg.eig import dense_eig
+
+
+# ---------------------------------------------------------------------------
+# flat-space wrappers around the problem's derivative operators
+# ---------------------------------------------------------------------------
+
+
+class _FlatProblem:
+    """View of a BifurcationProblem acting on the raveled state."""
+
+    def __init__(self, prob, x0, parbif):
+        self.prob = prob
+        self.parbif = parbif
+        self.flat0, self.unravel = ravel(x0)
+        self.n = self.flat0.shape[0]
+
+    def residual(self, params=None):
+        par = self.parbif if params is None else params
+        out = self.prob.residual(self.unravel(self.flat0), par)
+        return ravel(out)[0]
+
+    def residual_at_p(self, p):
+        par = self.prob.set_lens_param(self.parbif, p)
+        out = self.prob.residual(self.unravel(self.flat0), par)
+        return ravel(out)[0]
+
+    def jacobian(self):
+        return self.prob.jacobian(self.unravel(self.flat0), self.parbif)
+
+    def dF(self, v, params=None):
+        par = self.parbif if params is None else params
+        if np.iscomplexobj(v) or jnp.iscomplexobj(v):
+            vr = jnp.real(v)
+            vi = jnp.imag(v)
+            out = (ravel(self.prob.dF(self.unravel(self.flat0), par,
+                                      self.unravel(vr)))[0]
+                   + 1j * ravel(self.prob.dF(self.unravel(self.flat0), par,
+                                             self.unravel(vi)))[0])
+            return out
+        out = self.prob.dF(self.unravel(self.flat0), par, self.unravel(v))
+        return ravel(out)[0]
+
+    def d2F(self, v1, v2):
+        if jnp.iscomplexobj(v1) or jnp.iscomplexobj(v2):
+            out = self.prob.d2F_complex(
+                self.unravel(self.flat0), self.parbif,
+                self._unravel_c(v1), self._unravel_c(v2))
+        else:
+            out = self.prob.d2F(self.unravel(self.flat0), self.parbif,
+                                self.unravel(v1), self.unravel(v2))
+        return ravel(out)[0]
+
+    def d3F(self, v1, v2, v3):
+        if any(jnp.iscomplexobj(v) for v in (v1, v2, v3)):
+            out = self.prob.d3F_complex(
+                self.unravel(self.flat0), self.parbif,
+                self._unravel_c(v1), self._unravel_c(v2),
+                self._unravel_c(v3))
+        else:
+            out = self.prob.d3F(self.unravel(self.flat0), self.parbif,
+                                self.unravel(v1), self.unravel(v2),
+                                self.unravel(v3))
+        return ravel(out)[0]
+
+    def _unravel_c(self, v):
+        re = self.unravel(jnp.real(v))
+        im = self.unravel(jnp.imag(v))
+        return jax.tree_util.tree_map(lambda a, b: a + 1j * b, re, im)
+
+    def dFdp_at(self, p):
+        """Exact d/dp of the residual through the lens at x0."""
+        def f(pp):
+            par = self.prob.set_lens_param(self.parbif, pp)
+            return ravel(self.prob.residual(self.unravel(self.flat0),
+                                            par))[0]
+
+        _, dp = jax.jvp(f, (jnp.asarray(p),), (jnp.asarray(1.0),))
+        return dp
+
+    def d2Fdp2_at(self, p):
+        def df(pp):
+            return self.dFdp_at(pp)
+
+        _, d2 = jax.jvp(df, (jnp.asarray(p),), (jnp.asarray(1.0),))
+        return d2
+
+    def dFdp_dir(self, v, p):
+        """d/dp [ J(x0, p) v ] — mixed derivative R11 applied to v."""
+        if jnp.iscomplexobj(v):
+            return (self.dFdp_dir(jnp.real(v), p)
+                    + 1j * self.dFdp_dir(jnp.imag(v), p))
+
+        def f(pp):
+            par = self.prob.set_lens_param(self.parbif, pp)
+            out = self.prob.dF(self.unravel(self.flat0), par, self.unravel(v))
+            return ravel(out)[0]
+
+        _, dp = jax.jvp(f, (jnp.asarray(p),), (jnp.asarray(1.0),))
+        return dp
+
+
+def _inner(x, y):
+    """VI.inner convention: sum(conj(x) * y)."""
+    return complex(jnp.sum(jnp.conj(x) * y))
+
+
+def get_adjoint_basis(Lt, lam, nev: int = 10):
+    """Left eigenvector for the eigenvalue closest to `lam`
+    (ref get_adjoint_basis, src/NormalForms.jl:27-43)."""
+    vals, vecs = dense_eig(Lt, with_vectors=True)
+    vals_np = np.asarray(vals)
+    idx = int(np.argmin(np.abs(vals_np - lam)))
+    return np.asarray(vecs)[:, idx], vals_np[idx]
+
+
+def _bifpoint_eigen(br, sp, which: Optional[int] = None):
+    """Eigen-elements at a special point: prefer those stored on the point."""
+    ind = sp.ind_ev if which is None else which
+    ind = max(int(ind) - 1, 0)
+    if sp.eigenvals is None:
+        raise ValueError("special point carries no eigen-elements; rerun "
+                         "continuation with detect_bifurcation >= 2")
+    lam = sp.eigenvals[ind]
+    zeta = None
+    if sp.eigenvecs is not None:
+        zeta = np.asarray(sp.eigenvecs)[:, ind]
+    return lam, zeta, ind
+
+
+# ---------------------------------------------------------------------------
+# 1d kernel (ref get_normal_form1d, src/NormalForms.jl:189-357)
+# ---------------------------------------------------------------------------
+
+
+def get_normal_form1d(prob, br, ind_bif: int, verbose: bool = False,
+                      tol_fold: float = 1e-3, bls=None):
+    sp = br.specialpoint[ind_bif]
+    if sp.type not in ("bp", "fold"):
+        raise ValueError(f"point {ind_bif} is of type {sp.type!r}, not a "
+                         "branch point with 1d kernel")
+    bls = bls or MatrixBLS()
+    p = sp.param
+    parbif = prob.set_lens_param(br.prob.params if br.prob else prob.params,
+                                 p)
+    fp = _FlatProblem(prob, sp.x, parbif)
+    L = fp.jacobian()
+
+    lam, zeta, ind = _bifpoint_eigen(br, sp)
+    lam = float(np.real(lam))
+    if zeta is None:
+        vals, vecs = dense_eig(L)
+        vals_np = np.asarray(vals)
+        ind = int(np.argmin(np.abs(vals_np.real)))
+        zeta = np.asarray(vecs)[:, ind]
+    zeta = jnp.asarray(np.real(zeta))
+    zeta = zeta / jnp.linalg.norm(zeta)
+
+    # adjoint kernel basis
+    zeta_ad, lam_ad = get_adjoint_basis(L.T, lam)
+    zeta_ad = jnp.asarray(np.real(zeta_ad))
+    inner_zz = _inner(zeta, zeta_ad)
+    if abs(inner_zz) < 1e-10:
+        raise RuntimeError("<zeta, zeta*> ~ 0; increase nev")
+    zeta_ad = zeta_ad / np.real(inner_zz)
+
+    def E(x):
+        """Projection onto Range(L): x - <x, zeta*> zeta."""
+        return x - jnp.real(jnp.sum(jnp.conj(x) * zeta_ad)) * zeta
+
+    R01 = fp.dFdp_at(p)
+    R02 = fp.d2Fdp2_at(p)
+    a01 = _inner(R01, zeta_ad).real
+
+    # Psi01 from bordered solve [L zeta*; zeta' 0][Psi; s] = [E(-R01); 0]
+    Psi01, _, cv, _ = bls(L, jnp.asarray(zeta_ad), jnp.asarray(zeta), 0.0,
+                          E(-R01), 0.0,
+                          dotp=lambda x, y: jnp.vdot(x, y))
+
+    R11 = fp.dFdp_dir(zeta, p)
+    b11 = _inner(R11 + fp.d2F(zeta, Psi01), zeta_ad).real
+
+    R11Psi = fp.dFdp_dir(Psi01, p)
+    a02 = _inner(R02 + 2 * R11Psi + fp.d2F(Psi01, Psi01), zeta_ad).real
+
+    b2v = fp.d2F(zeta, zeta)
+    b20 = _inner(b2v, zeta_ad).real
+
+    Psi20, _, cv, _ = bls(L, jnp.asarray(zeta_ad), jnp.asarray(zeta), 0.0,
+                          E(-b2v), 0.0,
+                          dotp=lambda x, y: jnp.vdot(x, y))
+    b3v = fp.d3F(zeta, zeta, zeta) + 3 * fp.d2F(zeta, Psi20)
+    b30 = _inner(b3v, zeta_ad).real
+
+    nf = {"a01": a01, "a02": a02, "b11": b11, "b20": b20, "b30": b30,
+          "Psi01": Psi01, "Psi20": Psi20}
+    if verbose:
+        print(f"normal form: a01={a01:.6g} a02={a02:.6g} b11={b11:.6g} "
+              f"b20/2={b20/2:.6g} b30/6={b30/6:.6g}")
+
+    common = dict(x0=fp.flat0, p=p, params=parbif, lens=prob.lens,
+                  zeta=zeta, zeta_star=zeta_ad, nf=nf, prob=prob)
+    tau = sp.tau
+    if max(abs(a01), abs(b11)) > 1e-10:
+        if abs(a01) < tol_fold:
+            if 100 * abs(b20 / 2) < abs(b30 / 6):
+                out = Pitchfork(**common)
+            else:
+                out = Transcritical(**common)
+        else:
+            out = Fold(**common)
+    else:
+        out = BranchPoint(**common)
+    out.tau = tau
+    out.unravel = fp.unravel
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Hopf (ref hopf_normal_form / __hopf_normal_form, src/NormalForms.jl:987-1205)
+# ---------------------------------------------------------------------------
+
+
+def hopf_normal_form(prob, br, ind_hopf: int, verbose: bool = False):
+    sp = br.specialpoint[ind_hopf]
+    if sp.type != "hopf":
+        raise ValueError(f"point {ind_hopf} is not a Hopf point "
+                         f"(type={sp.type!r})")
+    p = sp.param
+    parbif = prob.set_lens_param(prob.params, p)
+    fp = _FlatProblem(prob, sp.x, parbif)
+    L = fp.jacobian()
+
+    lam, zeta, ind = _bifpoint_eigen(br, sp)
+    # ensure omega > 0 convention
+    if np.imag(lam) < 0:
+        lam = np.conj(lam)
+        zeta = None if zeta is None else np.conj(zeta)
+    omega = float(np.imag(lam))
+    if zeta is None:
+        vals, vecs = dense_eig(L)
+        vals_np = np.asarray(vals)
+        ind = int(np.argmin(np.abs(vals_np - lam)))
+        zeta = np.asarray(vecs)[:, ind]
+    zeta = jnp.asarray(zeta)
+    zeta = zeta / jnp.linalg.norm(zeta)
+
+    zeta_ad, lam_ad = get_adjoint_basis(L.T, np.conj(lam))
+    zeta_ad = jnp.asarray(zeta_ad)
+    # normalize: dot(zeta, zeta_ad) = sum(conj(zeta) zeta_ad) = 1
+    zeta_ad = zeta_ad / _inner(zeta, zeta_ad)
+
+    czeta = jnp.conj(zeta)
+    ls = lambda A, b: jnp.linalg.solve(A, b)
+
+    R2 = lambda a, b: fp.d2F(a, b) / 2.0
+    R3 = lambda a, b, c: fp.d3F(a, b, c) / 6.0
+
+    R01 = fp.dFdp_at(p)
+    Psi001 = ls(L, -R01)
+
+    av = fp.dFdp_dir(zeta, p) + 2.0 * R2(zeta, Psi001)
+    a = _inner(av, zeta_ad)
+
+    # (2 i omega - L) Psi200 = R20(zeta, zeta)
+    n = fp.n
+    R20 = R2(zeta, zeta)
+    A200 = 2j * omega * jnp.eye(n) - L.astype(jnp.complex128)
+    Psi200 = ls(A200, R20.astype(jnp.complex128))
+
+    R20b = 2.0 * R2(zeta, czeta)
+    # -L Psi110 = 2 R2(zeta, conj zeta); rhs is real
+    Psi110 = ls(-L.astype(jnp.complex128), R20b.astype(jnp.complex128))
+
+    bv = 2.0 * R2(zeta, Psi110) + 2.0 * R2(czeta, Psi200) \
+        + 3.0 * R3(zeta, zeta, czeta)
+    b = _inner(bv, zeta_ad)
+
+    if verbose:
+        print(f"Hopf normal form: a={a:.6g}, b={b:.6g} "
+              f"({'supercritical' if b.real < 0 else 'subcritical'})")
+
+    hp = Hopf(x0=fp.flat0, p=p, params=parbif, lens=prob.lens, zeta=zeta,
+              zeta_star=zeta_ad, omega=omega, prob=prob,
+              nf={"a": a, "b": b, "Psi001": Psi001, "Psi110": Psi110,
+                  "Psi200": Psi200})
+    hp.subtype = ("SuperCritical" if b.real < 0 else
+                  "SubCritical" if b.real > 0 else "Singular")
+    hp.tau = sp.tau
+    hp.unravel = fp.unravel
+    return hp
+
+
+# ---------------------------------------------------------------------------
+# predictors (ref predictor(...), src/NormalForms.jl:389-536, 1227-1282)
+# ---------------------------------------------------------------------------
+
+
+def predictor(bp, ds: float, verbose: bool = False, ampfactor: float = 1.0):
+    if isinstance(bp, Transcritical):
+        nf = bp.nf
+        pnew = bp.p + ds
+        amp = -2 * ds * nf["b11"] / nf["b20"] * ampfactor
+        if amp == 0:
+            amp = abs(ds)
+        x1 = bp.x0 + amp * jnp.real(bp.zeta) - ds * nf["Psi01"]
+        xm1 = bp.x0 - amp * jnp.real(bp.zeta) + ds * nf["Psi01"]
+        return {"x0": bp.x0, "x1": x1, "xm1": xm1, "p": pnew,
+                "pm1": bp.p - ds, "amp": amp, "dsfactor": 1.0}
+    if isinstance(bp, Pitchfork):
+        nf = bp.nf
+        dsfactor = 1.0 if nf["b11"] * nf["b30"] < 0 else -1.0
+        amp = ampfactor * np.sqrt(max(-6 * abs(ds) * dsfactor * nf["b11"]
+                                      / nf["b30"], 0.0))
+        if amp == 0:
+            amp = abs(ds)
+        pnew = bp.p + abs(ds) * dsfactor
+        x1 = bp.x0 + amp * jnp.real(bp.zeta)
+        return {"x0": bp.x0, "x1": x1, "p": pnew, "amp": amp,
+                "dsfactor": dsfactor, "dp": pnew - bp.p}
+    if isinstance(bp, Hopf):
+        return hopf_predictor(bp, ds, verbose=verbose, ampfactor=ampfactor)
+    if isinstance(bp, Fold):
+        return None
+    if isinstance(bp, BranchPoint):
+        # generic quadratic normal form: find zero directions of the reduced
+        # equation on a circle of radius |ds| (ref _predictor, :495-536)
+        nf = bp.nf
+        ads = abs(ds)
+
+        def g(x, pp):
+            return ((nf["a01"] + nf["a02"] * pp / 2) * pp
+                    + (nf["b11"] * pp + nf["b20"] * x / 2
+                       + nf["b30"] * x ** 2 / 6) * x)
+
+        thetas = np.linspace(0, 2 * np.pi, 100_000)
+        vals = g(ads * np.cos(thetas), ads * np.sin(thetas))
+        sign_flips = np.where(np.sign(vals[1:]) * np.sign(vals[:-1]) < 0)[0]
+        if len(sign_flips) == 0:
+            return None
+        # pick the direction least aligned with the current branch tangent
+        tau = bp.tau
+        best, best_dot = None, np.inf
+        for i in sign_flips:
+            c, s = ads * np.cos(thetas[i]), ads * np.sin(thetas[i])
+            tau_u_flat, _ = ravel(tau.u)
+            d = abs(float(jnp.real(jnp.vdot(tau_u_flat, bp.zeta))) * c
+                    + s * float(tau.p))
+            if d < best_dot:
+                best_dot, best = d, (c, s)
+        c, s = best
+        pnew = bp.p + s
+        x1 = bp.x0 + c * jnp.real(bp.zeta)
+        return {"x0": bp.x0, "x1": x1, "p": pnew, "amp": c, "dsfactor": 1.0}
+    raise TypeError(f"no predictor for {type(bp)}")
+
+
+def hopf_predictor(hp: Hopf, ds: float, verbose: bool = False,
+                   ampfactor: float = 1.0):
+    """Second-order periodic-orbit guess from the Hopf normal form
+    (ref predictor(hp::Hopf, ds), src/NormalForms.jl:1227-1282)."""
+    nf = hp.nf
+    a, b = nf["a"], nf["b"]
+    dsfactor = 1 if a.real * b.real < 0 else -1
+    dsnew = abs(ds) * dsfactor
+    pnew = hp.p + dsnew
+    amp = ampfactor * np.sqrt(max(-dsnew * a.real / b.real, 0.0))
+    omega = hp.omega + (a.imag - b.imag * a.real / b.real) * dsnew
+
+    Psi001 = nf["Psi001"]
+    Psi110 = nf["Psi110"]
+    Psi200 = nf["Psi200"]
+
+    def orbit(t):
+        A = amp * np.exp(1j * t)
+        return (hp.x0 + 2 * jnp.real(hp.zeta * A) + dsnew * Psi001
+                + abs(A) ** 2 * jnp.real(Psi110)
+                + 2 * jnp.real(A ** 2 * Psi200))
+
+    return {"orbit": orbit, "amp": 2 * amp, "omega": omega,
+            "period": abs(2 * np.pi / omega), "p": pnew,
+            "dsfactor": dsfactor, "dp": dsnew}
+
+
+# ---------------------------------------------------------------------------
+# dispatcher (ref get_normal_form, src/NormalForms.jl:130-177)
+# ---------------------------------------------------------------------------
+
+
+def get_normal_form(br, ind_bif: int, prob=None, verbose: bool = False,
+                    **kwargs):
+    prob = prob or br.prob
+    sp = br.specialpoint[ind_bif]
+    if sp.type == "hopf":
+        return hopf_normal_form(prob, br, ind_bif, verbose=verbose)
+    if sp.type in ("bp", "fold", "nd"):
+        from .codim1_nd import get_normal_form_nd
+
+        if abs(sp.delta[0]) > 1 or sp.type == "nd":
+            return get_normal_form_nd(prob, br, ind_bif, verbose=verbose)
+        return get_normal_form1d(prob, br, ind_bif, verbose=verbose, **kwargs)
+    raise ValueError(f"no normal form available for point type {sp.type!r}")

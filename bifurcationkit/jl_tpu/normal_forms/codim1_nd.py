@@ -1,0 +1,210 @@
+"""Nd-kernel normal forms (ref get_normal_formNd, src/NormalForms.jl:656-899)
+and the reduced-equation root solve used by `multicontinuation`
+(ref src/bifdiagram/BranchSwitching.jl:234-441)."""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..detection.points import NdBranchPoint
+from ..linalg.eig import dense_eig
+from .codim1 import _FlatProblem, _inner
+
+
+def biorthogonalise(zetas, zetas_ad):
+    """Make <zeta_i, zeta*_j> = delta_ij (ref biorthogonalise,
+    src/NormalForms.jl:48-92); adjusts the left vectors only."""
+    N = len(zetas)
+    G = np.array([[np.real(np.vdot(z, za)) for za in zetas_ad]
+                  for z in zetas])
+    if abs(np.linalg.det(G)) <= 1e-14:
+        raise RuntimeError("Gram matrix singular in biorthogonalisation; "
+                           "increase nev")
+    Q = np.linalg.pinv(G)
+    new_ad = [sum(Q.T[i, j] * zetas_ad[j] for j in range(N))
+              for i in range(N)]
+    G2 = np.array([[np.real(np.vdot(z, za)) for za in new_ad]
+                   for z in zetas])
+    if np.max(np.abs(G2 - np.eye(N))) > 1e-5:
+        raise RuntimeError("bi-orthogonalisation failed; increase nev")
+    return zetas, new_ad
+
+
+def get_normal_form_nd(prob, br, ind_bif: int, verbose: bool = False,
+                       tol_fold: float = 1e-3):
+    sp = br.specialpoint[ind_bif]
+    N = abs(sp.delta[0])
+    assert N > 1, "use get_normal_form1d for 1d kernels"
+    p = sp.param
+    parbif = prob.set_lens_param(prob.params, p)
+    fp = _FlatProblem(prob, sp.x, parbif)
+    L = np.asarray(fp.jacobian())
+
+    # kernel basis: eigenvectors for the N eigenvalues closest to zero
+    if sp.eigenvecs is not None and sp.eigenvals is not None:
+        ind = max(int(sp.ind_ev), N)
+        vecs = np.asarray(sp.eigenvecs)
+        zetas = [np.real(vecs[:, i]) for i in range(ind - N, ind)]
+    else:
+        vals, vecs = dense_eig(jnp.asarray(L))
+        vals = np.asarray(vals)
+        order = np.argsort(np.abs(vals.real))[:N]
+        zetas = [np.real(np.asarray(vecs)[:, i]) for i in order]
+    zetas = [z / np.linalg.norm(z) for z in zetas]
+
+    # adjoint basis
+    valsT, vecsT = dense_eig(jnp.asarray(L.T))
+    valsT = np.asarray(valsT)
+    orderT = np.argsort(np.abs(valsT.real))[:N]
+    zetas_ad = [np.real(np.asarray(vecsT)[:, i]) for i in orderT]
+    zetas, zetas_ad = biorthogonalise(zetas, zetas_ad)
+
+    def E(x):
+        """Projection onto Range(L)."""
+        x = np.asarray(x)
+        for z, za in zip(zetas, zetas_ad):
+            x = x - np.real(np.vdot(za, x)) * z
+        return x
+
+    # block-bordered solve: [L  Z*; Z' 0][w; s] = [rhs; 0]
+    n = L.shape[0]
+    A = np.zeros((n + N, n + N))
+    A[:n, :n] = L
+    for i in range(N):
+        A[:n, n + i] = zetas_ad[i]
+        A[n + i, :n] = zetas[i]
+    A_fact = A
+
+    def bls(rhs):
+        sol = np.linalg.solve(A_fact, np.concatenate([np.asarray(rhs),
+                                                      np.zeros(N)]))
+        return sol[:n]
+
+    R2 = lambda a, b: np.asarray(fp.d2F(jnp.asarray(a), jnp.asarray(b)))
+    R3 = lambda a, b, c: np.asarray(
+        fp.d3F(jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)))
+
+    R01 = np.asarray(fp.dFdp_at(p))
+    R02 = np.asarray(fp.d2Fdp2_at(p))
+    a01 = np.array([np.real(np.vdot(R01, za)) for za in zetas_ad])
+
+    Psi01 = bls(-E(R01))
+    b11 = np.zeros((N, N))
+    a02 = np.zeros(N)
+    for j in range(N):
+        R11 = np.asarray(fp.dFdp_dir(jnp.asarray(zetas[j]), p))
+        tmp = R11 + R2(zetas[j], Psi01)
+        for i in range(N):
+            b11[i, j] = np.real(np.vdot(tmp, zetas_ad[i]))
+        R11Psi = np.asarray(fp.dFdp_dir(jnp.asarray(Psi01), p))
+        a2v = R02 + 2 * R11Psi + R2(Psi01, Psi01)
+        a02[j] = np.real(np.vdot(a2v, zetas_ad[j]))
+
+    b20 = np.zeros((N, N, N))
+    for j in range(N):
+        for k in range(j, N):
+            b2v = R2(zetas[j], zetas[k])
+            for i in range(N):
+                b20[i, j, k] = np.real(np.vdot(b2v, zetas_ad[i]))
+                b20[i, k, j] = b20[i, j, k]
+
+    b30 = np.zeros((N, N, N, N))
+    for j in range(N):
+        for k in range(N):
+            for l in range(N):
+                if (j == k == l) or (j == k) or (j < k < l):
+                    b3v = R3(zetas[j], zetas[k], zetas[l])
+                    w = bls(E(R2(zetas[l], zetas[k])))
+                    b3v = b3v - R2(zetas[j], w)
+                    w = bls(E(R2(zetas[l], zetas[j])))
+                    b3v = b3v - R2(zetas[k], w)
+                    w = bls(E(R2(zetas[k], zetas[j])))
+                    b3v = b3v - R2(zetas[l], w)
+                    for i in range(N):
+                        c = np.real(np.vdot(b3v, zetas_ad[i]))
+                        for I in {(j, k, l), (j, l, k), (k, j, l),
+                                  (k, l, j), (l, j, k), (l, k, j)}:
+                            b30[(i,) + I] = c
+
+    nf = {"a01": a01, "a02": a02, "b11": b11, "b20": b20, "b30": b30}
+    out = NdBranchPoint(x0=fp.flat0, p=p, params=parbif, lens=prob.lens,
+                        zeta=zetas, zeta_star=zetas_ad, nf=nf, prob=prob)
+    out.tau = sp.tau
+    out.unravel = fp.unravel
+    out.N = N
+    if verbose:
+        print(f"Nd normal form (N={N}): a01={a01}, b11=\n{b11}")
+    return out
+
+
+def reduced_equation(nf: dict, x: np.ndarray, dp: float) -> np.ndarray:
+    """Evaluate the reduced system g_i(x, dp)
+    (ref nf(::NdBranchPoint), src/NormalForms.jl:560-600)."""
+    a01, a02 = nf["a01"], nf["a02"]
+    b11, b20, b30 = nf["b11"], nf["b20"], nf["b30"]
+    out = a01 * dp + a02 * dp ** 2 / 2 + (b11 @ x) * dp
+    out = out + 0.5 * np.einsum("ijk,j,k->i", b20, x, x)
+    out = out + np.einsum("ijkl,j,k,l->i", b30, x, x, x) / 6
+    return out
+
+
+def nd_branch_predictors(bp: NdBranchPoint, ds: float,
+                         ampfactor: float = 1.0, perturb=None,
+                         n_trials: int = 30, seed: int = 11) -> List[dict]:
+    """Find the nontrivial roots of the reduced equation at dp = ±|ds| using
+    deflated Newton on the N-dim polynomial system; return one predictor per
+    distinct root (ref multicontinuation first stage,
+    src/bifdiagram/BranchSwitching.jl:234-320)."""
+    nf = bp.nf
+    N = len(nf["a01"])
+    rng = np.random.default_rng(seed)
+    preds = []
+    for dp in (abs(ds), -abs(ds)):
+        roots: List[np.ndarray] = []
+        scale = np.sqrt(abs(ds)) + abs(ds)
+        # deterministic starts on all sign patterns (catches symmetric roots),
+        # then random restarts
+        starts = []
+        if N <= 4:
+            from itertools import product
+
+            for sigma in product((-1.0, 0.0, 1.0), repeat=N):
+                if any(s != 0 for s in sigma):
+                    starts.append(np.asarray(sigma) * scale)
+        starts += [rng.standard_normal(N) * scale for _ in range(n_trials)]
+        for x in starts:
+            if perturb is not None:
+                x = perturb(x)
+            for _ in range(100):
+                g = reduced_equation(nf, x, dp)
+                # deflate known roots and the trivial one
+                J = _reduced_jac(nf, x, dp)
+                try:
+                    dx = np.linalg.solve(J, g)
+                except np.linalg.LinAlgError:
+                    break
+                x = x - dx
+                if np.linalg.norm(dx) < 1e-12:
+                    break
+            if np.linalg.norm(reduced_equation(nf, x, dp)) < 1e-9 \
+                    and np.linalg.norm(x) > 1e-8 * scale \
+                    and np.linalg.norm(x) < 100 * scale:
+                if not any(np.linalg.norm(x - r) < 1e-6 * max(1, scale)
+                           for r in roots):
+                    roots.append(x)
+        for r in roots:
+            x1 = np.asarray(bp.x0).copy()
+            for j in range(N):
+                x1 = x1 + ampfactor * r[j] * np.asarray(bp.zeta[j])
+            preds.append({"x1": x1, "p": bp.p + dp, "amp": r,
+                          "dp": dp})
+    return preds
+
+
+def _reduced_jac(nf, x, dp):
+    b11, b20, b30 = nf["b11"], nf["b20"], nf["b30"]
+    J = b11 * dp + np.einsum("ijk,k->ij", b20, x)
+    J = J + 0.5 * np.einsum("ijkl,k,l->ij", b30, x, x)
+    return J
