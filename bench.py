@@ -1,0 +1,92 @@
+"""Benchmark: SH2d-fronts matrix-free Jacobian-vector product (the SpMV
+north-star workload, BASELINE.json) — effective CSR nnz/s on one chip.
+
+The J.v of Swift-Hohenberg is a fused 13-point biharmonic stencil plus the
+pointwise nonlinear diagonal: as a CSR matrix this is 14 nnz/row.  The
+reference performs this product through SuiteSparse/Julia sparse matvecs on
+CPU; here it is one fused XLA kernel in f32 (bf16 accumulation is not needed:
+the stencil is HBM-bandwidth-bound).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the same kernel on the host CPU backend
+(reference hardware class), when available.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N = int(os.environ.get("BENCH_N", "1024"))
+NNZ_PER_ROW = 14  # 13-point biharmonic stencil + nonlinear diagonal
+REPS = int(os.environ.get("BENCH_REPS", "50"))
+
+
+def make_jv(dtype):
+    import bifurcationkit.jl_tpu  # noqa: F401  (enables x64 etc.)
+    from bifurcationkit.jl_tpu.models.sh import _lap_neumann
+
+    hx2 = (16 * np.pi / N) ** 2
+    hy2 = hx2
+    l, nu = -0.1, 1.3
+
+    def lap(u):
+        return _lap_neumann(u, hx2, 0) + _lap_neumann(u, hy2, 1)
+
+    def jv(u, v):
+        # J v = -(I+Lap)^2 v + (l + 2 nu u - 3 u^2) v  — matrix-free SpMV
+        w = v + lap(v)
+        L1v = w + lap(w)
+        return -L1v + (l + 2 * nu * u - 3 * u * u) * v
+
+    return jax.jit(jv)
+
+
+def bench_device(device, dtype=jnp.float32):
+    jv = make_jv(dtype)
+    key = jax.random.PRNGKey(0)
+    with jax.default_device(device):
+        u = jax.random.normal(key, (N, N), dtype)
+        v = jax.random.normal(jax.random.PRNGKey(1), (N, N), dtype)
+        out = jv(u, v)
+        jax.block_until_ready(out)  # warmup/compile
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            v = jv(u, v)
+        jax.block_until_ready(v)
+        dt = (time.perf_counter() - t0) / REPS
+    nnz = N * N * NNZ_PER_ROW
+    return nnz / dt
+
+
+def main():
+    devs = jax.devices()
+    value = bench_device(devs[0])
+
+    vs_baseline = 1.0
+    try:
+        cpu = jax.devices("cpu")[0]
+        global REPS
+        saved_reps = REPS
+        REPS = max(3, REPS // 10)
+        cpu_value = bench_device(cpu)
+        REPS = saved_reps
+        vs_baseline = value / cpu_value
+    except Exception:
+        pass
+
+    print(json.dumps({
+        "metric": f"SH2d matrix-free J.v (SpMV-equivalent, {N}x{N}, f32)",
+        "value": round(value / 1e9, 3),
+        "unit": "Gnnz/s/chip",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

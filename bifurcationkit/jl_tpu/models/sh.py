@@ -1,0 +1,119 @@
+"""Swift-Hohenberg models (ref examples/SH2d-fronts.jl, SH2d-fronts-cuda.jl,
+SH3d.jl) — the framework's flagship matrix-free PDE workloads."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.problem import BifurcationProblem
+
+
+def _lap_neumann(u, h2, axis):
+    """1D second difference with the reference's modified-corner (Neumann)
+    closure (ref examples/SH2d-fronts.jl:20-24: D2[1,1] = -1/h^2)."""
+    um = jnp.concatenate([jax.lax.slice_in_dim(u, 0, 1, axis=axis),
+                          jax.lax.slice_in_dim(u, 0, u.shape[axis] - 1,
+                                               axis=axis)], axis=axis)
+    up = jnp.concatenate([jax.lax.slice_in_dim(u, 1, u.shape[axis],
+                                               axis=axis),
+                          jax.lax.slice_in_dim(u, u.shape[axis] - 1,
+                                               u.shape[axis], axis=axis)],
+                         axis=axis)
+    return (um - 2 * u + up) / h2
+
+
+def swift_hohenberg_2d(Nx: int = 151, Ny: int = 100, lx: float = 8 * np.pi,
+                       ly: float = 2 * 2 * np.pi / np.sqrt(3),
+                       l: float = -0.1, nu: float = 1.3):
+    """SH2d-fronts (ref examples/SH2d-fronts.jl:8-60): snaking localized
+    patterns.  State is kept as the (Nx, Ny) field (not flattened) so the
+    stencil partitions over a device mesh; residual
+    F = -(I+Delta)^2 u + l u + nu u^2 - u^3."""
+    hx = 2 * lx / Nx
+    hy = 2 * ly / Ny
+    hx2, hy2 = hx * hx, hy * hy
+
+    def lap(u):
+        return _lap_neumann(u, hx2, 0) + _lap_neumann(u, hy2, 1)
+
+    def F(u, par):
+        v = u + lap(u)
+        L1u = v + lap(v)
+        return -L1u + par["l"] * u + par["nu"] * u * u - u ** 3
+
+    # analytic derivatives (ref d2F_sh/d3F_sh, examples/SH2d-fronts.jl:42-43)
+    def d2F(u, par, dx1, dx2):
+        return (2 * par["nu"] * dx2 - 6 * dx2 * u) * dx1
+
+    def d3F(u, par, dx1, dx2, dx3):
+        return -6 * dx1 * dx2 * dx3
+
+    X = -lx + 2 * lx / Nx * np.arange(Nx)
+    Y = -ly + 2 * ly / Ny * np.arange(Ny)
+    sol0 = (np.cos(X)[:, None]
+            + np.cos(X / 2)[:, None] * np.cos(np.sqrt(3) * Y / 2)[None, :])
+    sol0 = sol0 - sol0.min()
+    sol0 = sol0 / sol0.max()
+    sol0 = (sol0 - 0.25) * 1.7
+
+    return BifurcationProblem(
+        F, u0=jnp.asarray(sol0), params={"l": l, "nu": nu}, lens="l",
+        d2F_user=d2F, d3F_user=d3F,
+        record_from_solution=lambda x, p, **k: {
+            "param": p, "norm": jnp.linalg.norm(x.ravel()),
+            "n8": jnp.power(jnp.sum(x.ravel() ** 8), 1.0 / 8)})
+
+
+def swift_hohenberg_periodic_2d(N: int = 512, L: float = 16 * np.pi,
+                                l: float = -0.15, nu: float = 1.3):
+    """Periodic SH2d with the spectral diagonal operator — the GPU example's
+    FFT path (ref examples/SH2d-fronts-cuda.jl:31-65) rebuilt on jnp.fft.
+    The linear solve (I + Delta)^2-shifted is diagonal in Fourier space."""
+    h = L / N
+    k = np.fft.fftfreq(N, d=h) * 2 * np.pi
+    KX = k[:, None]
+    KY = k[None, :]
+    sym = -((1 - KX ** 2 - KY ** 2) ** 2)   # symbol of -(I+Delta)^2
+    sym = jnp.asarray(sym)
+
+    def apply_L(u):
+        return jnp.real(jnp.fft.ifft2(sym * jnp.fft.fft2(u)))
+
+    def F(u, par):
+        return apply_L(u) + par["l"] * u + par["nu"] * u * u - u ** 3
+
+    def precond(v):
+        """Spectral preconditioner (L - shift)^-1 for GMRES."""
+        return jnp.real(jnp.fft.ifft2(jnp.fft.fft2(v) / (sym - 1.0)))
+
+    X = np.linspace(-L / 2, L / 2, N, endpoint=False)
+    sol0 = (np.cos(X)[:, None] * np.cos(X)[None, :]) * 1.1
+
+    prob = BifurcationProblem(F, u0=jnp.asarray(sol0),
+                              params={"l": l, "nu": nu}, lens="l")
+    object.__setattr__(prob, "spectral_precond", precond)
+    return prob
+
+
+def swift_hohenberg_3d(N: int = 22, L: float = 2 * np.pi,
+                       l: float = -0.1, nu: float = 1.2):
+    """SH3d (ref examples/SH3d.jl:69): N^3 state."""
+    h = 2 * L / N
+    h2 = h * h
+
+    def lap(u):
+        return (_lap_neumann(u, h2, 0) + _lap_neumann(u, h2, 1)
+                + _lap_neumann(u, h2, 2))
+
+    def F(u, par):
+        v = u + lap(u)
+        L1u = v + lap(v)
+        return -L1u + par["l"] * u + par["nu"] * u * u - u ** 3
+
+    X = np.linspace(-L, L, N, endpoint=False)
+    sol0 = (np.cos(X)[:, None, None] * np.cos(X)[None, :, None]
+            * np.cos(X)[None, None, :])
+
+    return BifurcationProblem(F, u0=jnp.asarray(sol0),
+                              params={"l": l, "nu": nu}, lens="l")
