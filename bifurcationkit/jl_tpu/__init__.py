@@ -24,6 +24,9 @@ from .linalg import (ArnoldiEig, BiCGStab, DenseEig, DenseLS, FlatOperator,
 from .linalg.bordered import (BorderingBLS, LSFromBLS, MatrixBLS,
                               MatrixFreeBLS)
 from .newton import NonLinearSolution, cb_max_norm, newton
+from .deflation import (DeflationOperator, deflated_newton,
+                        deflated_problem)
+from .continuation.deflated import DCResult, DefCont, deflated_continuation
 from .continuation import (AutoSwitch, Bordered, Branch, ContIterable,
                            ContResult, ContState, MoorePenrose, Multiple,
                            Natural, PALC, Polynomial, Secant, continuation,
@@ -31,6 +34,8 @@ from .continuation import (AutoSwitch, Bordered, Branch, ContIterable,
 from .detection import (ContinuousEvent, DiscreteEvent, PairOfEvents,
                         SetOfEvents, SpecialPoint, fold_detect_event,
                         save_at_event)
+from .codim2 import (continuation_fold, continuation_hopf, newton_fold,
+                     newton_hopf)
 from .normal_forms import (BifDiagNode, bifurcationdiagram,
                            continuation_from_bp, get_normal_form,
                            hopf_normal_form, multicontinuation, predictor)

@@ -1,0 +1,461 @@
+"""Codim-2 minimally-augmented continuation (ref src/codim2/*).
+
+Fold curve: unknown X = (x, p1), functional G = (F(x, p1), sigma(x, p1))
+where sigma comes from the bordered solve [J a; b' 0][v; sigma] = [0; 1]
+(ref FoldMinimallyAugmentedFormulation, src/codim2/MinAugFold.jl:15-52).
+
+Hopf curve: unknown X = (x, p1, omega), complex shift [J + i*omega*I a; b' 0]
+and G = (F, Re sigma, Im sigma) (ref src/codim2/MinAugHopf.jl:19-80).
+
+TPU design: G is a pure JAX function (the sigma solve is an (n+1) dense solve,
+differentiable), so the augmented problem is an ordinary `BifurcationProblem`
+and the whole PALC/detection stack applies unchanged with AD jacobians — the
+reference's `MinAugMatrixBased` realization (src/jacobianTypes.jl:100-108),
+which on TPU is also the fastest: one fused LU per corrector iteration on the
+MXU instead of the reference's four hand-scheduled solves.
+
+The border vectors (a, b) live in the parameter pytree, so the re-anchoring
+update! hook (ref MinAugFold.jl:280-314) never retraces the kernels.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..continuation.algorithms import PALC
+from ..continuation.driver import continuation
+from ..continuation.results import Branch, ContResult
+from ..core.lens import Lens, as_lens
+from ..core.params import ContinuationPar, NewtonPar
+from ..core.problem import BifurcationProblem
+from ..core.state import ravel
+from ..detection.events import ContinuousEvent, PairOfEvents, DiscreteEvent
+from ..linalg.eig import dense_eig
+from ..newton import newton
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _border_solve(J, a, b, shift=None):
+    """Solve [J + shift*I, a; b', 0][v; sigma] = [0; 1]; returns (v, sigma).
+    (ref test_ma / _compute_bordered_vectors, src/codim2/MinAugFold.jl:44-80)
+    """
+    n = J.shape[0]
+    dtype = jnp.result_type(J, a, b, *([shift] if shift is not None else []))
+    A = jnp.zeros((n + 1, n + 1), dtype)
+    Js = J.astype(dtype)
+    if shift is not None:
+        Js = Js + shift * jnp.eye(n, dtype=dtype)
+    A = A.at[:n, :n].set(Js)
+    A = A.at[:n, n].set(a.astype(dtype))
+    A = A.at[n, :n].set(jnp.conj(b).astype(dtype))
+    rhs = jnp.zeros((n + 1,), dtype).at[n].set(1.0)
+    sol = jnp.linalg.solve(A, rhs)
+    return sol[:n], sol[n]
+
+
+def _adjoint_border_solve(J, a, b, shift=None):
+    """Same for the adjoint system: [J' b; a' 0][w; sigma*] = [0; 1]."""
+    Jt = jnp.conj(J).T if jnp.iscomplexobj(J) else J.T
+    sh = None if shift is None else jnp.conj(shift)
+    return _border_solve(Jt, b, a, sh)
+
+
+# ---------------------------------------------------------------------------
+# Fold MA problem
+# ---------------------------------------------------------------------------
+
+
+def fold_ma_problem(prob: BifurcationProblem, lens1, lens2,
+                    a0, b0) -> BifurcationProblem:
+    inner_lens = as_lens(lens1)
+    outer_lens = as_lens(lens2)
+    flat0, unravel = ravel(prob.u0)
+    n = flat0.shape[0]
+
+    def split(X):
+        return X[:n], X[n]
+
+    def G(X, par):
+        x, p1 = split(X)
+        params = inner_lens.set(par["_inner"], p1)
+        F = ravel(prob.F(unravel(x), params))[0]
+        J = prob.jacobian(unravel(x), params)
+        _, sigma, = _border_solve(J, par["_a"], par["_b"])
+        return jnp.concatenate([F, jnp.real(sigma)[None]])
+
+    lens = Lens(
+        get=lambda par: outer_lens.get(par["_inner"]),
+        set=lambda par, v: {**par, "_inner": outer_lens.set(par["_inner"], v)},
+        name=f"fold-ma/{outer_lens.name}")
+
+    def record(X, p2, **k):
+        x, p1 = split(X)
+        return {"param": p2, "p1": p1, "norm": jnp.linalg.norm(x)}
+
+    def eig_jacobian(X, par):
+        x, p1 = split(X)
+        params = inner_lens.set(par["_inner"], p1)
+        return prob.jacobian(unravel(x), params)
+
+    maprob = BifurcationProblem(
+        G, u0=None,
+        params={"_inner": prob.params, "_a": flat0 * 0 + 1.0,
+                "_b": flat0 * 0 + 1.0},
+        lens=lens, record_from_solution=record, delta=prob.delta,
+        update=_make_minaug_update(prob, inner_lens, n, unravel,
+                                   is_hopf=False))
+    object.__setattr__(maprob, "eig_jacobian", eig_jacobian)
+    object.__setattr__(maprob, "inner_prob", prob)
+    object.__setattr__(maprob, "inner_lens", inner_lens)
+    object.__setattr__(maprob, "n_inner", n)
+    object.__setattr__(maprob, "unravel_inner", unravel)
+    object.__setattr__(maprob, "ma_kind", "fold")
+    return maprob
+
+
+# ---------------------------------------------------------------------------
+# Hopf MA problem
+# ---------------------------------------------------------------------------
+
+
+def hopf_ma_problem(prob: BifurcationProblem, lens1, lens2,
+                    a0, b0) -> BifurcationProblem:
+    inner_lens = as_lens(lens1)
+    outer_lens = as_lens(lens2)
+    flat0, unravel = ravel(prob.u0)
+    n = flat0.shape[0]
+
+    def split(X):
+        return X[:n], X[n], X[n + 1]
+
+    def G(X, par):
+        x, p1, omega = split(X)
+        params = inner_lens.set(par["_inner"], p1)
+        F = ravel(prob.F(unravel(x), params))[0]
+        J = prob.jacobian(unravel(x), params)
+        # lambda = +i*omega convention: J - i*omega*I is the singular
+        # operator with right null vector zeta (ref MinAugHopf.jl:19-80,
+        # which uses the conjugate convention)
+        _, sigma = _border_solve(J, par["_a"], par["_b"],
+                                 shift=-1j * omega)
+        return jnp.concatenate([F, jnp.real(sigma)[None],
+                                jnp.imag(sigma)[None]])
+
+    lens = Lens(
+        get=lambda par: outer_lens.get(par["_inner"]),
+        set=lambda par, v: {**par, "_inner": outer_lens.set(par["_inner"], v)},
+        name=f"hopf-ma/{outer_lens.name}")
+
+    def record(X, p2, **k):
+        x, p1, omega = split(X)
+        return {"param": p2, "p1": p1, "omega": omega,
+                "norm": jnp.linalg.norm(x)}
+
+    def eig_jacobian(X, par):
+        x, p1, _ = split(X)
+        params = inner_lens.set(par["_inner"], p1)
+        return prob.jacobian(unravel(x), params)
+
+    cdtype = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+    maprob = BifurcationProblem(
+        G, u0=None,
+        params={"_inner": prob.params,
+                "_a": (flat0 * 0 + 1.0).astype(cdtype),
+                "_b": (flat0 * 0 + 1.0).astype(cdtype)},
+        lens=lens, record_from_solution=record, delta=prob.delta,
+        update=_make_minaug_update(prob, inner_lens, n, unravel,
+                                   is_hopf=True))
+    object.__setattr__(maprob, "eig_jacobian", eig_jacobian)
+    object.__setattr__(maprob, "inner_prob", prob)
+    object.__setattr__(maprob, "inner_lens", inner_lens)
+    object.__setattr__(maprob, "n_inner", n)
+    object.__setattr__(maprob, "unravel_inner", unravel)
+    object.__setattr__(maprob, "ma_kind", "hopf")
+    return maprob
+
+
+def _make_minaug_update(prob, inner_lens, n, unravel, is_hopf: bool,
+                        every: int = 1):
+    """Re-anchor the border vectors to the current null vectors
+    (ref update a,b every update_minaug_every_step, MinAugFold.jl:280-314)."""
+
+    def update(it, state):
+        if every <= 0 or state.step % every != 0:
+            return None
+        par = it.current_params
+        X = ravel(state.z.u)[0]
+        x = X[:n]
+        p1 = X[n]
+        params = inner_lens.set(par["_inner"], p1)
+        J = prob.jacobian(unravel(x), params)
+        shift = -1j * X[n + 1] if is_hopf else None
+        v, _ = _border_solve(J, par["_a"], par["_b"], shift)
+        w, _ = _adjoint_border_solve(J, par["_a"], par["_b"], shift)
+        v = v / jnp.linalg.norm(v)
+        w = w / jnp.linalg.norm(w)
+        new = dict(par)
+        new["_b"] = v.astype(par["_b"].dtype)
+        new["_a"] = w.astype(par["_a"].dtype)
+        return new
+
+    return update
+
+
+_MA_ATTRS = ("eig_jacobian", "inner_prob", "inner_lens", "n_inner",
+             "unravel_inner", "ma_kind")
+
+
+def _with_ma_attrs(src, dst):
+    """dataclasses.replace drops the non-field MA attributes; restore them."""
+    for name in _MA_ATTRS:
+        object.__setattr__(dst, name, getattr(src, name))
+    return dst
+
+
+# ---------------------------------------------------------------------------
+# starting data from a codim-1 branch point
+# ---------------------------------------------------------------------------
+
+
+def _fold_start(br, ind_bif):
+    sp = br.specialpoint[ind_bif]
+    if sp.type not in ("fold", "bp"):
+        raise ValueError(f"point {ind_bif} is a {sp.type!r}, not fold/bp")
+    prob = br.prob
+    p1 = sp.param
+    params = prob.set_lens_param(prob.params, p1)
+    x_flat, unravel = ravel(sp.x)
+    J = prob.jacobian(sp.x, params)
+    vals, vecs = dense_eig(J)
+    vals_np = np.asarray(vals)
+    i0 = int(np.argmin(np.abs(vals_np.real)))
+    zeta = np.array(np.real(np.asarray(vecs)[:, i0]))
+    zeta /= np.linalg.norm(zeta)
+    valsT, vecsT = dense_eig(J.T)
+    iT = int(np.argmin(np.abs(np.asarray(valsT).real)))
+    zeta_ad = np.array(np.real(np.asarray(vecsT)[:, iT]))
+    zeta_ad /= np.linalg.norm(zeta_ad)
+    return x_flat, p1, jnp.asarray(zeta), jnp.asarray(zeta_ad)
+
+
+def _hopf_start(br, ind_bif):
+    sp = br.specialpoint[ind_bif]
+    if sp.type != "hopf":
+        raise ValueError(f"point {ind_bif} is a {sp.type!r}, not hopf")
+    prob = br.prob
+    p1 = sp.param
+    params = prob.set_lens_param(prob.params, p1)
+    x_flat, _ = ravel(sp.x)
+    J = prob.jacobian(sp.x, params)
+    vals, vecs = dense_eig(J)
+    vals_np = np.asarray(vals)
+    cand = np.where(vals_np.imag > 1e-10)[0]
+    if len(cand) == 0:
+        raise RuntimeError("no complex eigenvalue found at the Hopf point")
+    i0 = cand[np.argmin(np.abs(vals_np.real[cand]))]
+    lam = vals_np[i0]
+    omega = float(lam.imag)
+    zeta = np.array(np.asarray(vecs)[:, i0])
+    zeta /= np.linalg.norm(zeta)
+    valsT, vecsT = dense_eig(J.T)
+    valsT_np = np.asarray(valsT)
+    iT = int(np.argmin(np.abs(valsT_np - np.conj(lam))))
+    zeta_ad = np.array(np.asarray(vecsT)[:, iT])
+    zeta_ad /= np.linalg.norm(zeta_ad)
+    return x_flat, p1, omega, jnp.asarray(zeta), jnp.asarray(zeta_ad)
+
+
+# ---------------------------------------------------------------------------
+# codim-2 test functions as events (BT/cusp/ZH on fold; BT/GH on hopf)
+# ---------------------------------------------------------------------------
+
+
+def _fold_codim2_event(maprob):
+    n = maprob.n_inner
+    inner = maprob.inner_prob
+    inner_lens = maprob.inner_lens
+    unravel = maprob.unravel_inner
+
+    def cond(it, state):
+        par = it.current_params
+        X = ravel(state.z.u)[0]
+        x, p1 = X[:n], X[n]
+        params = inner_lens.set(par["_inner"], p1)
+        J = inner.jacobian(unravel(x), params)
+        v, _ = _border_solve(J, par["_a"], par["_b"])
+        w, _ = _adjoint_border_solve(J, par["_a"], par["_b"])
+        v = v / jnp.linalg.norm(v)
+        w = w / jnp.linalg.norm(w)
+        bt = float(jnp.real(jnp.vdot(w, v)))
+        # cusp = fold of the fold curve in the continuation parameter
+        # (ref CP = getp(state.tau), MinAugFold.jl:574)
+        cp = float(state.tau.p)
+        return (bt, cp)
+
+    return ContinuousEvent(nb=2, condition=cond, labels=["bt", "cusp"])
+
+
+def _hopf_codim2_event(maprob, with_gh: bool = True):
+    n = maprob.n_inner
+
+    def cond(it, state):
+        X = ravel(state.z.u)[0]
+        omega = float(X[n + 1])
+        vals = [omega]
+        if with_gh:
+            vals.append(_hopf_l1(maprob, it, state))
+        return tuple(vals)
+
+    labels = ["bt"] + (["gh"] if with_gh else [])
+    return ContinuousEvent(nb=1 + int(with_gh), condition=cond,
+                           labels=labels)
+
+
+def _hopf_l1(maprob, it, state):
+    """First Lyapunov coefficient along the Hopf curve (GH test,
+    ref MinAugHopf.jl:598-635)."""
+    from ..normal_forms.codim1 import _FlatProblem, _inner
+
+    n = maprob.n_inner
+    inner = maprob.inner_prob
+    par = it.current_params
+    X = np.asarray(ravel(state.z.u)[0])
+    x, p1, omega = X[:n], float(X[n]), float(X[n + 1])
+    params = maprob.inner_lens.set(par["_inner"], p1)
+    fp = _FlatProblem(inner, maprob.unravel_inner(jnp.asarray(x)), params)
+    J = fp.jacobian()
+    vals, vecs = dense_eig(J)
+    vals_np = np.asarray(vals)
+    cand = np.where(vals_np.imag > 1e-12)[0]
+    if len(cand) == 0:
+        return np.nan
+    i0 = cand[np.argmin(np.abs(vals_np[cand] - 1j * omega))]
+    lam = vals_np[i0]
+    zeta = jnp.asarray(np.asarray(vecs)[:, i0])
+    zeta = zeta / jnp.linalg.norm(zeta)
+    valsT, vecsT = dense_eig(J.T)
+    iT = int(np.argmin(np.abs(np.asarray(valsT) - np.conj(lam))))
+    zeta_ad = jnp.asarray(np.asarray(vecsT)[:, iT])
+    zeta_ad = zeta_ad / _inner(zeta, zeta_ad)
+
+    czeta = jnp.conj(zeta)
+    R2 = lambda a, b: fp.d2F(a, b) / 2.0
+    R3 = lambda a, b, c: fp.d3F(a, b, c) / 6.0
+    Psi001 = jnp.linalg.solve(J, -fp.dFdp_at(p1))
+    A200 = 2j * omega * jnp.eye(n) - J.astype(jnp.complex128)
+    Psi200 = jnp.linalg.solve(A200, R2(zeta, zeta).astype(jnp.complex128))
+    Psi110 = jnp.linalg.solve(-J.astype(jnp.complex128),
+                              (2.0 * R2(zeta, czeta)).astype(jnp.complex128))
+    bv = 2.0 * R2(zeta, Psi110) + 2.0 * R2(czeta, Psi200) \
+        + 3.0 * R3(zeta, zeta, czeta)
+    return float(np.real(_inner(bv, zeta_ad)))
+
+
+# ---------------------------------------------------------------------------
+# entry points (ref continuation_fold :369 / continuation_hopf :425)
+# ---------------------------------------------------------------------------
+
+
+def continuation_fold(br, ind_bif: int, lens2,
+                      contparams: ContinuationPar,
+                      alg=None, detect_codim2_bifurcation: int = 2,
+                      update_minaug_every_step: int = 1,
+                      **kwargs) -> Branch:
+    prob = br.prob
+    alg = alg or PALC()
+    x_flat, p1, zeta, zeta_ad = _fold_start(br, ind_bif)
+    maprob = fold_ma_problem(prob, prob.lens, lens2, zeta_ad, zeta)
+    X0 = jnp.concatenate([x_flat, jnp.asarray(p1)[None]])
+    params = dict(maprob.params)
+    params["_a"] = zeta_ad
+    params["_b"] = zeta
+    maprob = _with_ma_attrs(maprob, maprob.re_make(u0=X0, params=params))
+    event = (_fold_codim2_event(maprob)
+             if detect_codim2_bifurcation > 0 else None)
+    cp = contparams
+    if event is not None and cp.detect_event == 0:
+        cp = cp.replace(detect_event=2,
+                        detect_bifurcation=min(cp.detect_bifurcation, 1))
+    gamma = continuation(maprob, alg, cp, kind="FoldCont", event=event,
+                         **kwargs)
+    _relabel_codim2(gamma)
+    return Branch(gamma=gamma, bp=br.specialpoint[ind_bif])
+
+
+def continuation_hopf(br, ind_bif: int, lens2,
+                      contparams: ContinuationPar,
+                      alg=None, detect_codim2_bifurcation: int = 2,
+                      update_minaug_every_step: int = 1,
+                      compute_lyapunov: bool = True,
+                      **kwargs) -> Branch:
+    prob = br.prob
+    alg = alg or PALC()
+    x_flat, p1, omega, zeta, zeta_ad = _hopf_start(br, ind_bif)
+    maprob = hopf_ma_problem(prob, prob.lens, lens2, zeta_ad, zeta)
+    X0 = jnp.concatenate([x_flat, jnp.asarray(p1)[None],
+                          jnp.asarray(omega)[None]])
+    params = dict(maprob.params)
+    # left-null of (J - i*omega*I) is zeta_ad itself, so a = zeta_ad
+    params["_a"] = zeta_ad
+    params["_b"] = zeta
+    maprob = _with_ma_attrs(maprob, maprob.re_make(u0=X0, params=params))
+    event = (_hopf_codim2_event(maprob, with_gh=compute_lyapunov)
+             if detect_codim2_bifurcation > 0 else None)
+    cp = contparams
+    if event is not None and cp.detect_event == 0:
+        cp = cp.replace(detect_event=2,
+                        detect_bifurcation=min(cp.detect_bifurcation, 1))
+    gamma = continuation(maprob, alg, cp, kind="HopfCont", event=event,
+                         **kwargs)
+    _relabel_codim2(gamma)
+    return Branch(gamma=gamma, bp=br.specialpoint[ind_bif])
+
+
+def _relabel_codim2(gamma: ContResult):
+    """Map event labels to canonical codim-2 point types."""
+    for sp in gamma.specialpoint:
+        if sp.type in ("bt", "cusp", "zh", "gh"):
+            continue
+        if sp.type in ("userC", "userD"):
+            sp.type = "codim2"
+
+
+def newton_fold(br, ind_bif: int, options: Optional[NewtonPar] = None,
+                **kwargs):
+    """Refine a fold point at fixed p2 by Newton on the MA functional
+    (ref newton_fold, src/codim2/MinAugFold.jl:211)."""
+    prob = br.prob
+    options = options or br.contparams.newton_options
+    x_flat, p1, zeta, zeta_ad = _fold_start(br, ind_bif)
+    maprob = fold_ma_problem(prob, prob.lens, prob.lens, zeta_ad, zeta)
+    X0 = jnp.concatenate([x_flat, jnp.asarray(p1)[None]])
+    params = dict(maprob.params)
+    params["_a"] = zeta_ad
+    params["_b"] = zeta
+    return newton(_with_ma_attrs(maprob, maprob.re_make(u0=X0, params=params)),
+                  options, **kwargs)
+
+
+def newton_hopf(br, ind_bif: int, options: Optional[NewtonPar] = None,
+                **kwargs):
+    """ref newton_hopf, src/codim2/MinAugHopf.jl:256."""
+    prob = br.prob
+    options = options or br.contparams.newton_options
+    x_flat, p1, omega, zeta, zeta_ad = _hopf_start(br, ind_bif)
+    maprob = hopf_ma_problem(prob, prob.lens, prob.lens, zeta_ad, zeta)
+    X0 = jnp.concatenate([x_flat, jnp.asarray(p1)[None],
+                          jnp.asarray(omega)[None]])
+    params = dict(maprob.params)
+    # left-null of (J - i*omega*I) is zeta_ad itself, so a = zeta_ad
+    params["_a"] = zeta_ad
+    params["_b"] = zeta
+    return newton(_with_ma_attrs(maprob, maprob.re_make(u0=X0, params=params)),
+                  options, **kwargs)

@@ -96,6 +96,13 @@ def _continuation_loop(it: ContIterable, x0=None, params=None) -> ContResult:
                     if sp_ev is not None:
                         res.specialpoint.append(sp_ev)
 
+            # ---- problem update hook (re-anchoring MA borders, section
+            # updates, mesh adaptation — ref update!, src/Continuation.jl:251)
+            if it.prob.update is not None:
+                newp = it.prob.update(it, state)
+                if newp is not None:
+                    it.current_params = newp
+
             # ---- user finalise hook ------------------------------------
             if it.finalise_solution is not None:
                 keep = it.finalise_solution(state.z, state.tau, state.step,

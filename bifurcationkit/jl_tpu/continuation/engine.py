@@ -86,6 +86,10 @@ class ContIterable:
         # AutoSwitch dynamic mode: 'natural' | 'palc'
         self._autoswitch_mode = ("natural" if isinstance(alg, AutoSwitch)
                                  else None)
+        # current (possibly updated along the branch) parameter pytree; the
+        # problem's update! hook may replace it (ref update_problem!,
+        # src/Continuation.jl:251)
+        self.current_params = prob.params
 
     # ------------------------------------------------------------------
     # initialization: two Newton solves + secant tangent
@@ -93,7 +97,9 @@ class ContIterable:
     # ------------------------------------------------------------------
     def init_state(self, x0=None, params=None) -> ContState:
         cp = self.contparams
-        params = self.prob.params if params is None else params
+        if params is not None:
+            self.current_params = params
+        params = self.current_params
         x0 = self.prob.u0 if x0 is None else x0
         p0 = float(self.prob.get_lens_param(params))
         ds = cp.ds
@@ -142,7 +148,7 @@ class ContIterable:
         state.n_imag = (n_imag, state.n_imag[0])
 
     def _params(self):
-        return self.prob.params
+        return self.current_params
 
     # ------------------------------------------------------------------
     # one continuation step (ref iterate(it, state), src/Continuation.jl:458)

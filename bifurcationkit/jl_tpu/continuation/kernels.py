@@ -216,10 +216,17 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
         or (isinstance(eigsolver, _linalg.ShiftInvertEig)
             and eigsolver.linsolver is None))
 
+    # augmented (codim-2 / PO) problems provide the spectrum-defining inner
+    # jacobian separately (ref FoldEig stripping the border,
+    # src/codim2/MinAugFold.jl:579-601)
+    eig_jac = getattr(prob, "eig_jacobian", None)
+
     @jax.jit
     def eig_kernel(u, p, params):
         par = set_p(params, p)
-        if eig_needs_matrix:
+        if eig_jac is not None:
+            J = eig_jac(u, par)
+        elif eig_needs_matrix:
             J = prob.jacobian(u, par)
         else:
             J = FlatOperator(_flat_op(prob, u, par), n_state)

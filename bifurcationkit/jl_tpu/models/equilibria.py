@@ -101,7 +101,8 @@ def lorenz84(params=None):
             -G * U + G * X * U,
         ])
 
-    u0 = jnp.array([1.0, 0.0, 0.0, 0.0])
+    # converges to the U=0 equilibrium branch (X ~ 0.984 at F=1)
+    u0 = jnp.array([1.2, 0.2, 0.1, 0.0])
     return BifurcationProblem(F, u0=u0, params=params, lens="F")
 
 

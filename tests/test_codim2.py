@@ -1,0 +1,142 @@
+"""Codim-2 continuation tests with closed-form fold/Hopf curves
+(mirrors ref test/fold_codim_2 and test/hopf_codim_2)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bifurcationkit.jl_tpu as bk
+
+
+def cusp_model(p1=-1.0, p2=0.0):
+    """F = u^3 + p1*u + p2: fold curve 4 p1^3 + 27 p2^2 = 0, cusp at (0,0)."""
+
+    def F(u, par):
+        return u ** 3 + par["p1"] * u + par["p2"]
+
+    return bk.BifurcationProblem(F, u0=jnp.array([1.0]),
+                                 params={"p1": p1, "p2": p2}, lens="p2")
+
+
+def bt_model(b1=0.5, b2=1.0):
+    """Bogdanov-Takens normal form: x'=y, y'=b1+b2*x+x^2-x*y.
+    Fold curve b1 = b2^2/4 with a BT point at b2 = 0."""
+
+    def F(u, par):
+        x, y = u[0], u[1]
+        return jnp.array([y, par["b1"] + par["b2"] * x + x * x - x * y])
+
+    # equilibrium on the fold branch side: x = (-b2+sqrt(b2^2-4b1))/2
+    x0 = (-b2 + np.sqrt(max(b2 * b2 - 4 * b1, 0.0) + 1e-9)) / 2
+    return bk.BifurcationProblem(F, u0=jnp.array([x0, 0.0]),
+                                 params={"b1": b1, "b2": b2}, lens="b1")
+
+
+def _cp(**kw):
+    base = dict(ds=0.01, dsmax=0.05, dsmin=1e-5, p_min=-1.0, p_max=1.0,
+                max_steps=150, detect_bifurcation=3, nev=2, n_inversion=4,
+                newton_options=bk.NewtonPar(tol=1e-10, max_iterations=30))
+    base.update(kw)
+    return bk.ContinuationPar(**base)
+
+
+def test_fold_curve_cusp_model():
+    # continue in p2 at p1=-1: folds of u^3 - u + p2 at p2 = ±2/(3 sqrt 3)
+    prob = cusp_model(p1=-1.0)
+    br = bk.continuation(prob, bk.PALC(), _cp(detect_bifurcation=0,
+                                              detect_fold=True))
+    folds = br.get_special_points("fold")
+    assert len(folds) >= 1
+
+    # fold curve continuation in p1 (lens2)
+    cp2 = _cp(ds=0.01, dsmax=0.04, p_min=-1.2, p_max=-0.001, max_steps=120,
+              detect_bifurcation=0, detect_fold=False, detect_event=0)
+    brf = bk.continuation_fold(br, br.specialpoint.index(folds[0]), "p1",
+                               cp2, detect_codim2_bifurcation=0)
+    assert len(brf) > 10
+    # verify the curve satisfies 4 p1^3 + 27 p2^2 = 0
+    # (record key "p1" holds the state's fold parameter = model p2;
+    #  "param" is the continuation parameter = model p1)
+    tbl = brf.gamma._table()
+    model_p2 = tbl["p1"]
+    model_p1 = tbl["param"]
+    resid = 4 * model_p1 ** 3 + 27 * model_p2 ** 2
+    assert np.max(np.abs(resid)) < 1e-6
+
+
+def test_fold_curve_cusp_detection():
+    prob = cusp_model(p1=-1.0)
+    br = bk.continuation(prob, bk.PALC(), _cp(detect_bifurcation=0,
+                                              detect_fold=True))
+    folds = br.get_special_points("fold")
+    idx = br.specialpoint.index(folds[0])
+    cp2 = _cp(ds=0.01, dsmax=0.04, p_min=-1.2, p_max=1.2, max_steps=200,
+              detect_bifurcation=0, detect_fold=False)
+    brf = bk.continuation_fold(br, idx, "p1", cp2,
+                               detect_codim2_bifurcation=2)
+    cusps = [sp for sp in brf.specialpoint if sp.type == "cusp"]
+    assert len(cusps) >= 1
+    # cusp at (p1, p2) = (0, 0)
+    assert abs(cusps[0].param) < 5e-2
+
+
+def test_bt_detection_on_fold_curve():
+    prob = bt_model(b1=0.5, b2=2.0)
+    # find the fold in b1 at fixed b2=2: fold at b1 = 1
+    cp1 = _cp(ds=0.01, dsmax=0.05, p_min=0.2, p_max=1.5, max_steps=150,
+              detect_bifurcation=2, detect_fold=True, nev=2)
+    br = bk.continuation(prob, bk.PALC(), cp1)
+    pts = [sp for sp in br.specialpoint if sp.type in ("fold", "bp")]
+    assert len(pts) >= 1
+    fold_p = pts[0].param
+    assert abs(fold_p - 1.0) < 0.05
+
+    idx = br.specialpoint.index(pts[0])
+    cp2 = _cp(ds=-0.02, dsmax=0.05, p_min=-2.5, p_max=2.5, max_steps=250,
+              detect_bifurcation=0, detect_fold=False)
+    brf = bk.continuation_fold(br, idx, "b2", cp2,
+                               detect_codim2_bifurcation=2)
+    # fold curve must satisfy b1 = b2^2/4
+    tbl = brf.gamma._table()
+    np.testing.assert_allclose(tbl["p1"], tbl["param"] ** 2 / 4, atol=1e-6)
+    bts = [sp for sp in brf.specialpoint if sp.type == "bt"]
+    assert len(bts) >= 1
+    assert abs(bts[0].param) < 5e-2  # BT at b2 = 0
+
+
+def test_hopf_curve():
+    # z' = (p + q + i) z - z|z|^2: hopf curve p = -q, omega = 1
+    def F(u, par):
+        x, y = u[0], u[1]
+        mu = par["p"] + par["q"]
+        r2 = x * x + y * y
+        return jnp.array([mu * x - y - x * r2, x + mu * y - y * r2])
+
+    prob = bk.BifurcationProblem(F, u0=jnp.zeros(2),
+                                 params={"p": -0.5, "q": 0.0}, lens="p")
+    br = bk.continuation(prob, bk.PALC(), _cp())
+    hopfs = br.get_special_points("hopf")
+    assert len(hopfs) == 1
+
+    idx = br.specialpoint.index(hopfs[0])
+    cp2 = _cp(ds=0.02, dsmax=0.05, p_min=-0.8, p_max=0.8, max_steps=100,
+              detect_bifurcation=0, detect_fold=False)
+    brh = bk.continuation_hopf(br, idx, "q", cp2,
+                               detect_codim2_bifurcation=0)
+    tbl = brh.gamma._table()
+    # hopf curve: p1 = -q, omega = 1
+    np.testing.assert_allclose(tbl["p1"], -tbl["param"], atol=1e-8)
+    np.testing.assert_allclose(tbl["omega"], 1.0, atol=1e-8)
+
+
+def test_newton_fold_refine():
+    prob = cusp_model(p1=-1.0)
+    br = bk.continuation(prob, bk.PALC(), _cp(detect_bifurcation=0,
+                                              detect_fold=True))
+    folds = br.get_special_points("fold")
+    idx = br.specialpoint.index(folds[0])
+    sol = bk.newton_fold(br, idx)
+    assert bool(sol.converged)
+    # exact fold of u^3 - u + p2: u = 1/sqrt(3), p2 = 2/(3 sqrt 3)
+    u_f, p2_f = float(sol.u[0]), float(sol.u[1])
+    assert abs(abs(u_f) - 1 / np.sqrt(3)) < 1e-8
+    assert abs(abs(p2_f) - 2 / (3 * np.sqrt(3))) < 1e-8
