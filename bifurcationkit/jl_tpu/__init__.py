@@ -36,6 +36,10 @@ from .detection import (ContinuousEvent, DiscreteEvent, PairOfEvents,
                         save_at_event)
 from .codim2 import (continuation_fold, continuation_hopf, newton_fold,
                      newton_hopf)
+from .periodic import (Collocation, Flow, FloquetEig, PoincareShooting,
+                       Shooting, Trapeze, continuation_hopf_po,
+                       continuation_po, newton_po, orbit_from_branch,
+                       periodic_orbit_problem)
 from .normal_forms import (BifDiagNode, bifurcationdiagram,
                            continuation_from_bp, get_normal_form,
                            hopf_normal_form, multicontinuation, predictor)

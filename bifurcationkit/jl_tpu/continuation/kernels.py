@@ -248,6 +248,7 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
         bls=bls,
         dotp=dotp,
         dot_t=dot_t,
+        is_floquet=getattr(eigsolver, "is_floquet", False),
     )
 
 

@@ -1,0 +1,7 @@
+from .collocation import Collocation, legendre_matrices
+from .flow import Flow
+from .floquet import FloquetEig, floquet_multipliers
+from .orbits import (continuation_hopf_po, continuation_po, newton_po,
+                     orbit_from_branch, periodic_orbit_problem)
+from .shooting import PoincareShooting, Shooting
+from .trapezoid import Trapeze

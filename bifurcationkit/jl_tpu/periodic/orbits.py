@@ -1,0 +1,194 @@
+"""Periodic-orbit orchestration (ref src/periodicorbit/PeriodicOrbits.jl).
+
+Wraps a discretization (Trapeze / Collocation / Shooting) into an ordinary
+`BifurcationProblem` over X = [orbit dof, T], so Newton, PALC, detection,
+bisection and events all apply unchanged (ref the wrapper problems
+PeriodicOrbitFunctional*, src/Problems.jl:394-425).  Stability comes from the
+Floquet monodromy via the engine's `eig_jacobian` hook; the phase-condition
+reference orbit is refreshed by the update! hook through the parameter pytree
+(ref updatesection!, no retracing).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..continuation.algorithms import PALC
+from ..continuation.driver import continuation
+from ..continuation.results import Branch
+from ..core.lens import Lens, as_lens
+from ..core.params import ContinuationPar, NewtonPar
+from ..core.problem import BifurcationProblem
+from ..core.state import ravel
+from ..newton import newton
+from ..normal_forms.codim1 import hopf_normal_form, hopf_predictor
+from .collocation import Collocation
+from .floquet import FloquetEig
+from .shooting import PoincareShooting, Shooting
+from .trapezoid import Trapeze
+
+
+def periodic_orbit_problem(prob_vf: BifurcationProblem, disc, X0,
+                           params=None, uref=None,
+                           update_section_every_step: int = 1):
+    """Build the PO BifurcationProblem for any discretization."""
+    params = prob_vf.params if params is None else params
+    flatvf, unravel_vf = ravel(prob_vf.u0)
+    n = flatvf.shape[0]
+    expected = disc.unknown_size(n)
+    if X0.shape[0] != expected:
+        raise ValueError(
+            f"orbit guess has {X0.shape[0]} unknowns but {type(disc).__name__}"
+            f" over a {n}-dim vector field needs {expected} "
+            f"(orbit dof + period)")
+
+    po_par = {"_inner": params}
+    if isinstance(disc, Collocation):
+        mesh = jnp.asarray(np.linspace(0, 1, disc.Ntst + 1))
+        nodes, _ = disc.split(X0, n)
+        nodes_ref = nodes if uref is None else uref
+        _, phi = disc.phase_data(prob_vf, nodes_ref, params, mesh)
+        po_par.update({"_uref": nodes_ref, "_phi": phi, "_mesh": mesh})
+    elif isinstance(disc, Trapeze):
+        u, _ = disc.split(X0, n)
+        u_ref = u if uref is None else uref
+        _, phi = disc.phase_data(prob_vf, u_ref, params)
+        po_par.update({"_uref": u_ref, "_phi": phi})
+    elif isinstance(disc, (Shooting, PoincareShooting)):
+        po_par.update(disc.section_data(prob_vf, X0, params))
+    else:
+        raise TypeError(f"unknown discretization {type(disc)}")
+
+    inner_lens = as_lens(prob_vf.lens)
+    lens = Lens(
+        get=lambda par: inner_lens.get(par["_inner"]),
+        set=lambda par, v: {**par,
+                            "_inner": inner_lens.set(par["_inner"], v)},
+        name=f"po/{inner_lens.name}")
+
+    def F_po(X, par):
+        return disc.residual(prob_vf, X, par)
+
+    is_poincare = isinstance(disc, PoincareShooting)
+
+    def record(X, p, **k):
+        T = disc.period(X) if hasattr(disc, "period") else X[-1]
+        dof = X[:-1] if not is_poincare else X
+        out = {"param": p, "period": T,
+               "norm": jnp.linalg.norm(dof) / jnp.sqrt(1.0 * dof.shape[0])}
+        if not is_poincare:
+            traj = dof.reshape(dof.shape[0] // n, n)
+            out.update({
+                "amplitude": jnp.max(traj[:, 0]) - jnp.min(traj[:, 0]),
+                "max": jnp.max(traj[:, 0]),
+                "min": jnp.min(traj[:, 0])})
+        return out
+
+    def update(it, state):
+        """Refresh the phase-condition reference to the current orbit
+        (ref updatesection!)."""
+        if update_section_every_step <= 0 or \
+                state.step % update_section_every_step != 0:
+            return None
+        par = it.current_params
+        X = state.z.u
+        new = dict(par)
+        if isinstance(disc, Collocation):
+            nodes, _ = disc.split(X, n)
+            params_now = par["_inner"]
+            _, phi = disc.phase_data(prob_vf, nodes, params_now,
+                                     par["_mesh"])
+            new["_uref"] = nodes
+            new["_phi"] = phi
+        elif isinstance(disc, Trapeze):
+            u, _ = disc.split(X, n)
+            _, phi = disc.phase_data(prob_vf, u, par["_inner"])
+            new["_uref"] = u
+            new["_phi"] = phi
+        elif isinstance(disc, (Shooting, PoincareShooting)):
+            new.update(disc.section_data(prob_vf, X, par["_inner"]))
+        return new
+
+    def eig_jacobian(X, par):
+        return disc.monodromy(prob_vf, X, par)
+
+    po_prob = BifurcationProblem(F_po, u0=X0, params=po_par, lens=lens,
+                                 record_from_solution=record, update=update)
+    object.__setattr__(po_prob, "eig_jacobian", eig_jacobian)
+    object.__setattr__(po_prob, "disc", disc)
+    object.__setattr__(po_prob, "prob_vf", prob_vf)
+    object.__setattr__(po_prob, "n_vf", n)
+    return po_prob
+
+
+def _po_contparams(cp: ContinuationPar) -> ContinuationPar:
+    """PO defaults: Floquet eigensolver + looser stability tolerance
+    (the trivial multiplier sits at exponent 0)."""
+    nopts = cp.newton_options
+    if not isinstance(nopts.eigsolver, FloquetEig):
+        nopts = nopts.replace(eigsolver=FloquetEig())
+    tol_stab = max(cp.tol_stability, 1e-6)
+    return cp.replace(newton_options=nopts, tol_stability=tol_stab)
+
+
+def newton_po(prob_vf, disc, X0, params=None,
+              options: Optional[NewtonPar] = None, **kwargs):
+    """Newton solve of a periodic orbit guess (ref newton entry,
+    PeriodicOrbits.jl:310)."""
+    options = options or NewtonPar()
+    po_prob = periodic_orbit_problem(prob_vf, disc, X0, params=params)
+    return newton(po_prob, options, **kwargs), po_prob
+
+
+def continuation_po(prob_vf, disc, X0, contparams: ContinuationPar,
+                    alg=None, params=None, **kwargs) -> Branch:
+    """Continue a periodic orbit in the vector field's lens parameter."""
+    alg = alg or PALC()
+    po_prob = periodic_orbit_problem(prob_vf, disc, X0, params=params)
+    cp = _po_contparams(contparams)
+    gamma = continuation(po_prob, alg, cp, kind="PeriodicOrbitCont",
+                         **kwargs)
+    return Branch(gamma=gamma, bp=None)
+
+
+def continuation_hopf_po(br, ind_hopf: int, contparams: ContinuationPar,
+                         disc=None, alg=None, delta_p: float = None,
+                         ampfactor: float = 1.0, **kwargs) -> Branch:
+    """Automatic branch switching Hopf -> periodic orbits
+    (ref continuation(br, ind_hopf, contparams, disc),
+    PeriodicOrbits.jl:395-624): normal-form predictor seeds the orbit guess.
+    """
+    disc = disc or Collocation(Ntst=20, m=4)
+    alg = alg or PALC()
+    prob_vf = br.prob
+    hp = hopf_normal_form(prob_vf, br, ind_hopf)
+    ds = delta_p if delta_p is not None else contparams.ds
+    pred = hopf_predictor(hp, ds, ampfactor=ampfactor)
+    unravel = getattr(hp, "unravel", lambda v: v)
+    p_new = float(pred["p"])
+    period = float(pred["period"])
+    n = np.asarray(hp.x0).shape[0]
+
+    orbit_fn = lambda t: np.asarray(pred["orbit"](t))
+    X0 = disc.generate_solution(orbit_fn, period, n)
+    params_new = prob_vf.set_lens_param(prob_vf.params, p_new)
+    po_prob = periodic_orbit_problem(prob_vf, disc, X0, params=params_new)
+    cp = _po_contparams(contparams)
+    gamma = continuation(po_prob, alg, cp, kind="PeriodicOrbitCont",
+                         **kwargs)
+    return Branch(gamma=gamma, bp=hp)
+
+
+def orbit_from_branch(br_po, idx: int = -1):
+    """Extract (trajectory (npts, n), period, param) from a saved solution."""
+    gamma = br_po.gamma if isinstance(br_po, Branch) else br_po
+    sol = gamma.sol[idx]
+    X = np.asarray(sol["x"])
+    prob = gamma.prob
+    n = prob.n_vf
+    T = X[-1]
+    return X[:-1].reshape(-1, n), float(T), float(sol["p"])
