@@ -189,10 +189,25 @@ class ContIterable:
                 z_pred, state.z, state.tau, jnp.asarray(ds), self._params())
             if bool(cv):
                 state.tau = tau_new
+        elif isinstance(self.alg, Multiple):
+            # pmcont: try predictors at i*ds for i = nb..1, accept the first
+            # converged corrector (ref src/continuation/Multiple.jl:54-67)
+            accepted = False
+            for i in range(self.alg.nb, 0, -1):
+                dsi = ds * i
+                z_pred = BorderedState(
+                    u=tree_axpy(dsi, state.tau.u, state.z.u),
+                    p=state.z.p + dsi * state.tau.p)
+                z_new, cv, itn, itl, res = self.kernels.palc_corrector(
+                    z_pred, state.z, state.tau, jnp.asarray(dsi),
+                    self._params())
+                if bool(cv):
+                    accepted = True
+                    break
+            if not accepted:
+                cv = jnp.asarray(False)
         else:
-            z_pred = BorderedState(
-                u=tree_axpy(ds, state.tau.u, state.z.u),
-                p=state.z.p + ds * state.tau.p)
+            z_pred = self._palc_predictor(state, ds)
             z_new, cv, itn, itl, res = self.kernels.palc_corrector(
                 z_pred, state.z, state.tau, jnp.asarray(ds), self._params())
 
@@ -203,6 +218,7 @@ class ContIterable:
         if state.converged:
             state.z_old = state.z
             state.z = z_new
+            self._poly_push(state)
             if cp.compute_eigenelements:
                 self.compute_eig(state)
         if state.stepsizecontrol:
@@ -210,6 +226,50 @@ class ContIterable:
         self.update_predictor(state)
         state.step += 1
         return state
+
+    # ------------------------------------------------------------------
+    # predictors
+    # ------------------------------------------------------------------
+    def _palc_predictor(self, state: ContState, ds: float) -> BorderedState:
+        """Tangent predictor z + ds*tau, or polynomial extrapolation in
+        arclength when enough points are buffered
+        (ref Polynomial, src/continuation/Tangents.jl:126-233)."""
+        tangent = getattr(self.alg, "tangent", None)
+        if isinstance(tangent, Polynomial) and not state.in_bisection:
+            buf = self.__dict__.setdefault("_poly_buffer", [])
+            if len(buf) >= max(tangent.n + 2, 4):
+                import numpy as _np
+                from ..core.state import ravel as _ravel
+
+                ss = _np.asarray([b[0] for b in buf])
+                Z = _np.stack([b[1] for b in buf])       # (k, N+1)
+                s0, sc = ss.mean(), max(ss.std(), 1e-12)
+                t = (ss - s0) / sc
+                A = _np.vander(t, tangent.n + 1, increasing=True)
+                coef, *_ = _np.linalg.lstsq(A, Z, rcond=None)
+                t_new = (ss[-1] + ds - s0) / sc
+                z_new_flat = _np.asarray(
+                    [t_new ** k for k in range(tangent.n + 1)]) @ coef
+                flat, unravel = _ravel(state.z.u)
+                return BorderedState(
+                    u=unravel(jnp.asarray(z_new_flat[:-1])),
+                    p=jnp.asarray(z_new_flat[-1]))
+        return BorderedState(u=tree_axpy(ds, state.tau.u, state.z.u),
+                             p=state.z.p + ds * state.tau.p)
+
+    def _poly_push(self, state: ContState):
+        tangent = getattr(self.alg, "tangent", None)
+        if not isinstance(tangent, Polynomial) or state.in_bisection:
+            return
+        from ..core.state import ravel as _ravel
+
+        buf = self.__dict__.setdefault("_poly_buffer", [])
+        s_prev = buf[-1][0] if buf else 0.0
+        flat, _ = _ravel(state.z.u)
+        rec = np.concatenate([np.asarray(flat), [float(state.z.p)]])
+        buf.append((s_prev + abs(state.ds), rec))
+        if len(buf) > tangent.k:
+            buf.pop(0)
 
     # ------------------------------------------------------------------
     # step-size control (ref _step_size_control!, Contbase.jl:77-160)
