@@ -40,6 +40,9 @@ from .periodic import (Collocation, Flow, FloquetEig, PoincareShooting,
                        Shooting, Trapeze, continuation_hopf_po,
                        continuation_po, newton_po, orbit_from_branch,
                        periodic_orbit_problem)
+from .periodic.codim2 import (continuation_fold_po, continuation_ns,
+                              continuation_pd, pd_branch_switch)
+from .periodic.normal_forms import get_normal_form_po, poincare_return_map
 from .normal_forms import (BifDiagNode, bifurcationdiagram,
                            continuation_from_bp, get_normal_form,
                            hopf_normal_form, multicontinuation, predictor)

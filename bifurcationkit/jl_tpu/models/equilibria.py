@@ -128,6 +128,22 @@ def co_oxidation(params=None):
     return BifurcationProblem(F, u0=u0, params=params, lens="q2")
 
 
+def lure(alpha: float = -1.0, beta: float = 1.0):
+    """Lur'e system (ref test/periodic_orbits_function_sh4_and_collocation/
+    testLure.jl:9-16): x'=y, y'=z, z' = -alpha z - beta y - x + x^2.
+    Hopf at alpha*beta = 1 (omega^2 = beta); the PO branch carries PD/NS
+    points — the reference's canonical PO codim-2 fixture."""
+
+    def F(u, par):
+        x, y, z = u[0], u[1], u[2]
+        return jnp.array([y, z,
+                          -par["alpha"] * z - par["beta"] * y - x + x * x])
+
+    return BifurcationProblem(F, u0=jnp.zeros(3),
+                              params={"alpha": alpha, "beta": beta},
+                              lens="alpha")
+
+
 def brusselator_1d(n: int = 100, alpha: float = 2.0, beta: float = 5.45,
                    D1: float = 0.008, D2: float = 0.004, l: float = 0.3):
     """1D Brusselator reaction-diffusion (ref examples/brusselator.jl:26-49,

@@ -5,3 +5,6 @@ from .orbits import (continuation_hopf_po, continuation_po, newton_po,
                      orbit_from_branch, periodic_orbit_problem)
 from .shooting import PoincareShooting, Shooting
 from .trapezoid import Trapeze
+from .codim2 import (continuation_fold_po, continuation_ns, continuation_pd,
+                     pd_branch_switch)
+from .normal_forms import get_normal_form_po, poincare_return_map

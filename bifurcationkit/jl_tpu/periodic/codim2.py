@@ -1,0 +1,263 @@
+"""Codim-2 continuation of periodic-orbit bifurcations
+(ref src/periodicorbit/codim2/MinAugPD.jl, MinAugNS.jl).
+
+Curves of period-doubling / Neimark-Sacker / fold points of periodic orbits,
+continued in two parameters with minimally-augmented functionals on the
+*monodromy*:
+
+  PD:   sigma from [M(X, p1) + I,        a; b' 0][v; s] = [0; 1]
+  NS:   sigma from [M(X, p1) - e^{i th}I, a; b' 0]  (extra unknown theta)
+  Fold: sigma from [M(X, p1) - I,        a; b' 0]
+
+Because the monodromy is a pure JAX function of the orbit unknowns (batched
+per-interval solves + scan product), sigma is differentiable and the
+augmented problem is again an ordinary `BifurcationProblem` with AD
+jacobians — the same architecture as the equilibrium codim-2 layer.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codim2.minaug import _adjoint_border_solve, _border_solve
+from ..continuation.algorithms import PALC
+from ..continuation.driver import continuation
+from ..continuation.results import Branch
+from ..core.lens import Lens, as_lens
+from ..core.params import ContinuationPar, NewtonPar
+from ..core.problem import BifurcationProblem
+from ..linalg.eig import dense_eig
+from ..newton import newton
+from .collocation import Collocation
+from .orbits import periodic_orbit_problem
+
+
+_SHIFTS = {"pd": lambda th: 1.0, "fold": lambda th: -1.0}
+
+
+def _po_ma_problem(po_prob, lens2, kind: str):
+    """Augmented problem over Y = [X_po, p1 (, theta)] continued in lens2."""
+    prob_vf = po_prob.prob_vf
+    disc = po_prob.disc
+    inner_lens = as_lens(prob_vf.lens)
+    outer_lens = as_lens(lens2)
+    nX = int(np.asarray(po_prob.u0).shape[0])
+    has_theta = kind == "ns"
+
+    def split(Y):
+        if has_theta:
+            return Y[:nX], Y[nX], Y[nX + 1]
+        return Y[:nX], Y[nX], None
+
+    def G(Y, par):
+        X, p1, theta = split(Y)
+        po_par = {k: v for k, v in par.items() if k not in ("_a", "_b")}
+        po_par["_inner"] = inner_lens.set(par["_inner"], p1)
+        R = disc.residual(prob_vf, X, po_par)
+        M = disc.monodromy(prob_vf, X, po_par)
+        if kind == "pd":
+            shift = 1.0      # M + I singular at mu = -1
+            _, sigma = _border_solve(M, par["_a"], par["_b"], shift=shift)
+            return jnp.concatenate([R, jnp.real(sigma)[None]])
+        if kind == "fold":
+            _, sigma = _border_solve(M, par["_a"], par["_b"], shift=-1.0)
+            return jnp.concatenate([R, jnp.real(sigma)[None]])
+        # ns
+        _, sigma = _border_solve(M, par["_a"], par["_b"],
+                                 shift=-jnp.exp(1j * theta))
+        return jnp.concatenate([R, jnp.real(sigma)[None],
+                                jnp.imag(sigma)[None]])
+
+    lens = Lens(
+        get=lambda par: outer_lens.get(par["_inner"]),
+        set=lambda par, v: {**par,
+                            "_inner": outer_lens.set(par["_inner"], v)},
+        name=f"po-{kind}/{outer_lens.name}")
+
+    def record(Y, p2, **k):
+        X, p1, theta = split(Y)
+        out = {"param": p2, "p1": p1,
+               "period": disc.period(X) if hasattr(disc, "period")
+               else X[-1]}
+        if theta is not None:
+            out["theta"] = theta
+        return out
+
+    def update(it, state):
+        """Re-anchor borders to the current monodromy null vectors and
+        refresh the PO section (ref update hooks in MinAugPD.jl)."""
+        par = it.current_params
+        Y = state.z.u
+        X, p1, theta = split(Y)
+        po_par = {k: v for k, v in par.items() if k not in ("_a", "_b")}
+        po_par["_inner"] = inner_lens.set(par["_inner"], p1)
+        M = disc.monodromy(prob_vf, X, po_par)
+        if kind == "pd":
+            shift = 1.0
+        elif kind == "fold":
+            shift = -1.0
+        else:
+            shift = -jnp.exp(1j * theta)
+        v, _ = _border_solve(M, par["_a"], par["_b"], shift)
+        w, _ = _adjoint_border_solve(M, par["_a"], par["_b"], shift)
+        new = dict(par)
+        new["_b"] = (v / jnp.linalg.norm(v)).astype(par["_b"].dtype)
+        new["_a"] = (w / jnp.linalg.norm(w)).astype(par["_a"].dtype)
+        # refresh the PO phase section to the current orbit
+        if "_uref" in new:
+            n = new["_uref"].shape[1]
+            if isinstance(disc, Collocation):
+                nodes, _ = disc.split(X, n)
+                _, phi = disc.phase_data(prob_vf, nodes, po_par["_inner"],
+                                         new["_mesh"])
+            else:
+                nodes, _ = disc.split(X, n)
+                _, phi = disc.phase_data(prob_vf, nodes, po_par["_inner"])
+            new["_uref"] = nodes
+            new["_phi"] = phi
+        return new
+
+    maprob = BifurcationProblem(G, u0=None, params=None, lens=lens,
+                                record_from_solution=record, update=update)
+    object.__setattr__(maprob, "inner_prob", po_prob)
+    object.__setattr__(maprob, "ma_kind", f"po-{kind}")
+    return maprob, split
+
+
+def _start_data(br_po, ind_bif, which: str):
+    gamma = br_po.gamma if isinstance(br_po, Branch) else br_po
+    sp = gamma.specialpoint[ind_bif]
+    po_prob = gamma.prob
+    X = jnp.asarray(sp.x)
+    p1 = sp.param
+    disc = po_prob.disc
+    prob_vf = po_prob.prob_vf
+    par = po_prob.set_lens_param(po_prob.params, p1)
+    M = disc.monodromy(prob_vf, X, par)
+    mult, vecs = dense_eig(M)
+    mult_np = np.asarray(mult)
+    if which == "pd":
+        i0 = int(np.argmin(np.abs(mult_np + 1.0)))
+        theta = None
+    elif which == "fold":
+        # second multiplier near +1 (excluding the trivial one)
+        order = np.argsort(np.abs(mult_np - 1.0))
+        i0 = int(order[1]) if len(order) > 1 else int(order[0])
+        theta = None
+    else:
+        cand = np.where(np.abs(mult_np.imag) > 1e-8)[0]
+        i0 = cand[np.argmin(np.abs(np.abs(mult_np[cand]) - 1.0))]
+        theta = float(np.angle(mult_np[i0]))
+    zeta = np.asarray(vecs)[:, i0]
+    multT, vecsT = dense_eig(M.T)
+    iT = int(np.argmin(np.abs(np.asarray(multT) - np.conj(mult_np[i0]))))
+    zeta_ad = np.asarray(vecsT)[:, iT]
+    return X, p1, theta, jnp.asarray(zeta), jnp.asarray(zeta_ad), par
+
+
+def _continuation_po_codim2(br_po, ind_bif, lens2, contparams, kind,
+                            alg=None, **kwargs):
+    gamma = br_po.gamma if isinstance(br_po, Branch) else br_po
+    po_prob = gamma.prob
+    alg = alg or PALC()
+    X, p1, theta, zeta, zeta_ad, par = _start_data(br_po, ind_bif, kind)
+    maprob, split = _po_ma_problem(po_prob, lens2, kind)
+
+    if kind == "ns":
+        cdtype = jnp.complex128
+        a = zeta_ad.astype(cdtype)
+        b = zeta.astype(cdtype)
+        Y0 = jnp.concatenate([X, jnp.asarray(p1)[None],
+                              jnp.asarray(theta)[None]])
+    else:
+        a = jnp.real(zeta_ad)
+        a = a / jnp.linalg.norm(a)
+        b = jnp.real(zeta)
+        b = b / jnp.linalg.norm(b)
+        Y0 = jnp.concatenate([X, jnp.asarray(p1)[None]])
+
+    params = dict(par)
+    params["_a"] = a
+    params["_b"] = b
+    maprob2 = maprob.re_make(u0=Y0, params=params)
+    for attr in ("inner_prob", "ma_kind"):
+        object.__setattr__(maprob2, attr, getattr(maprob, attr))
+    cp = contparams.replace(detect_bifurcation=min(
+        contparams.detect_bifurcation, 1))
+    gamma2 = continuation(maprob2, alg, cp, kind=f"POCodim2-{kind}",
+                          **kwargs)
+    return Branch(gamma=gamma2, bp=gamma.specialpoint[ind_bif])
+
+
+def continuation_pd(br_po, ind_bif, lens2, contparams, **kwargs) -> Branch:
+    """Continue a period-doubling point of a PO in two parameters
+    (ref continuation_pd, MinAugPD.jl:307)."""
+    return _continuation_po_codim2(br_po, ind_bif, lens2, contparams, "pd",
+                                   **kwargs)
+
+
+def continuation_ns(br_po, ind_bif, lens2, contparams, **kwargs) -> Branch:
+    """ref continuation_ns, MinAugNS.jl:328."""
+    return _continuation_po_codim2(br_po, ind_bif, lens2, contparams, "ns",
+                                   **kwargs)
+
+
+def continuation_fold_po(br_po, ind_bif, lens2, contparams,
+                         **kwargs) -> Branch:
+    """Fold-of-periodic-orbits curve (ref Fold-of-PO via generic Fold MA,
+    periodicorbit/codim2)."""
+    return _continuation_po_codim2(br_po, ind_bif, lens2, contparams, "fold",
+                                   **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# period-doubling branch switching (PO -> PO with doubled period)
+# ---------------------------------------------------------------------------
+
+
+def pd_branch_switch(br_po, ind_pd, contparams, ampfactor: float = 0.1,
+                     delta_p: float = 0.0, alg=None, **kwargs) -> Branch:
+    """aBS at a PD point: double-period orbit guess = orbit traversed twice
+    perturbed by +/- the PD eigenfunction (ref PO->PO branching,
+    PeriodicOrbits.jl:626-709)."""
+    from .orbits import continuation_po
+
+    gamma = br_po.gamma if isinstance(br_po, Branch) else br_po
+    sp = gamma.specialpoint[ind_pd]
+    po_prob = gamma.prob
+    disc = po_prob.disc
+    prob_vf = po_prob.prob_vf
+    n = po_prob.n_vf
+    if not isinstance(disc, Collocation):
+        raise NotImplementedError("PD branch switching currently requires "
+                                  "Collocation")
+    X = jnp.asarray(sp.x)
+    p1 = sp.param + delta_p
+    nodes, T = disc.split(X, n)
+
+    # PD eigenfunction at the orbit start from the monodromy null vector
+    par = po_prob.set_lens_param(po_prob.params, sp.param)
+    M = disc.monodromy(prob_vf, X, par)
+    mult, vecs = dense_eig(M)
+    i0 = int(np.argmin(np.abs(np.asarray(mult) + 1.0)))
+    phi0 = np.array(np.real(np.asarray(vecs)[:, i0]))
+    phi0 /= np.linalg.norm(phi0)
+
+    # double orbit: second copy perturbed with the opposite sign so the
+    # doubled loop closes (antiperiodic eigenfunction)
+    nodes_np = np.asarray(nodes)
+    scale = ampfactor * float(np.linalg.norm(nodes_np[0]) + 1.0)
+    first = nodes_np[:-1] + scale * phi0[None, :]
+    second = nodes_np[:-1] - scale * phi0[None, :]
+    doubled = np.concatenate([first, second, nodes_np[:1] + scale * phi0],
+                             axis=0)
+    disc2 = Collocation(Ntst=2 * disc.Ntst, m=disc.m)
+    X2 = disc2.pack(jnp.asarray(doubled), 2 * T)
+
+    params_new = prob_vf.set_lens_param(prob_vf.params, float(p1))
+    return continuation_po(prob_vf, disc2, X2, contparams,
+                           alg=alg, params=params_new, **kwargs)

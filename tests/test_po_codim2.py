@@ -1,0 +1,111 @@
+"""PO codim-2 tests on the Lur'e system (the reference's PD/NS fixture,
+ref test/periodic_orbits_function_sh4_and_collocation/testLure.jl and
+test/codim_2_po_collocation/codim2PO-OColl.jl)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bifurcationkit.jl_tpu as bk
+from bifurcationkit.jl_tpu import models
+from bifurcationkit.jl_tpu.linalg.eig import dense_eig
+from bifurcationkit.jl_tpu.periodic.floquet import floquet_multipliers
+
+
+@pytest.fixture(scope="module")
+def lure_po_branch():
+    prob = models.lure(alpha=1.2, beta=1.0)
+    # equilibrium branch down in alpha; Hopf at alpha = 1/beta = 1
+    cp = bk.ContinuationPar(ds=-0.01, dsmax=0.02, dsmin=1e-6, p_min=0.2,
+                            p_max=1.4, max_steps=120, detect_bifurcation=3,
+                            nev=3, n_inversion=6,
+                            newton_options=bk.NewtonPar(tol=1e-10))
+    br = bk.continuation(prob, bk.PALC(tangent=bk.Bordered()), cp)
+    hopfs = br.get_special_points("hopf")
+    assert len(hopfs) == 1
+    assert abs(hopfs[0].param - 1.0) < 1e-3
+    idx = br.specialpoint.index(hopfs[0])
+
+    cp_po = bk.ContinuationPar(ds=-0.01, dsmax=0.03, dsmin=1e-7, p_min=0.2,
+                               p_max=1.05, max_steps=100,
+                               detect_bifurcation=3, nev=3, n_inversion=4,
+                               max_bisection_steps=15,
+                               tol_stability=1e-4,
+                               newton_options=bk.NewtonPar(
+                                   tol=1e-9, max_iterations=25))
+    br_po = bk.continuation_hopf_po(br, idx, cp_po,
+                                    disc=bk.Collocation(Ntst=25, m=4),
+                                    delta_p=-0.01)
+    return prob, br, br_po
+
+
+def test_lure_po_branch_has_pd(lure_po_branch):
+    prob, br, br_po = lure_po_branch
+    pds = br_po.gamma.get_special_points("pd")
+    assert len(pds) >= 1, (
+        f"no PD found; points: {[sp.type for sp in br_po.specialpoint]}")
+    pd = pds[0]
+    # verify the multiplier is near -1 at the detected point
+    po_prob = br_po.gamma.prob
+    par = po_prob.set_lens_param(po_prob.params, pd.param)
+    mult = floquet_multipliers(po_prob.disc, po_prob.prob_vf,
+                               jnp.asarray(pd.x), par)
+    assert np.min(np.abs(mult + 1.0)) < 0.05
+
+
+def test_pd_curve_continuation(lure_po_branch):
+    prob, br, br_po = lure_po_branch
+    pds = br_po.gamma.get_special_points("pd")
+    idx = br_po.gamma.specialpoint.index(pds[0])
+    cp2 = bk.ContinuationPar(ds=0.02, dsmax=0.05, dsmin=1e-6, p_min=0.8,
+                             p_max=1.4, max_steps=12, detect_bifurcation=0,
+                             detect_fold=False,
+                             newton_options=bk.NewtonPar(tol=1e-7,
+                                                         max_iterations=15))
+    br_pd = bk.continuation_pd(br_po, idx, "beta", cp2)
+    assert len(br_pd) >= 5
+    # along the PD curve the monodromy must keep a multiplier at -1
+    po_prob = br_po.gamma.prob
+    tbl = br_pd.gamma._table()
+    sol = br_pd.gamma.sol[len(br_pd.gamma.sol) // 2]
+    Y = np.asarray(sol["x"])
+    X = jnp.asarray(Y[:-1])
+    p1 = float(Y[-1])
+    beta = float(sol["p"])
+    par = dict(po_prob.params)
+    par["_inner"] = {**par["_inner"], "alpha": p1, "beta": beta}
+    mult = floquet_multipliers(po_prob.disc, po_prob.prob_vf, X, par)
+    assert np.min(np.abs(mult + 1.0)) < 1e-6
+
+
+def test_pd_branch_switching(lure_po_branch):
+    prob, br, br_po = lure_po_branch
+    pds = br_po.gamma.get_special_points("pd")
+    idx = br_po.gamma.specialpoint.index(pds[0])
+    T1 = None
+    # period of the orbit at the PD point
+    for rec in br_po.gamma._records:
+        if rec["step"] == pds[0].step:
+            T1 = rec["period"]
+    assert T1 is not None
+    cp_po2 = bk.ContinuationPar(ds=-0.01, dsmax=0.02, dsmin=1e-7, p_min=0.2,
+                                p_max=1.05, max_steps=8,
+                                detect_bifurcation=0, detect_fold=False,
+                                newton_options=bk.NewtonPar(
+                                    tol=1e-8, max_iterations=30))
+    br2 = bk.pd_branch_switch(br_po, idx, cp_po2, ampfactor=0.05,
+                              delta_p=-0.005)
+    assert len(br2) >= 3
+    T2 = br2.gamma._table()["period"][0]
+    assert T2 == pytest.approx(2 * T1, rel=0.05)
+
+
+def test_po_normal_form_pd(lure_po_branch):
+    prob, br, br_po = lure_po_branch
+    pds = br_po.gamma.get_special_points("pd")
+    idx = br_po.gamma.specialpoint.index(pds[0])
+    pt = bk.get_normal_form_po(br_po, idx, verbose=True)
+    # the return map multiplier at PD must be ~ -1
+    assert abs(pt.nf["mu"] + 1.0) < 5e-2
+    # finite, nonzero flip coefficient
+    assert np.isfinite(pt.nf["c"]) and abs(pt.nf["c"]) > 1e-8
+    assert pt.subtype in ("SuperCritical", "SubCritical")
