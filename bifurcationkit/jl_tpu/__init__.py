@@ -43,6 +43,9 @@ from .periodic import (Collocation, Flow, FloquetEig, PoincareShooting,
 from .periodic.codim2 import (continuation_fold_po, continuation_ns,
                               continuation_pd, pd_branch_switch)
 from .periodic.normal_forms import get_normal_form_po, poincare_return_map
+from .wave import travelling_wave_problem
+from .bvp import (BVPCollocation, BVPModel, BVPShooting, bvp_problem,
+                  discretize)
 from .normal_forms import (BifDiagNode, bifurcationdiagram,
                            continuation_from_bp, get_normal_form,
                            hopf_normal_form, multicontinuation, predictor)

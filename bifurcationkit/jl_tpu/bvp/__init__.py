@@ -1,0 +1,2 @@
+from .bvp import (BVPCollocation, BVPModel, BVPShooting, bvp_problem,
+                  discretize)

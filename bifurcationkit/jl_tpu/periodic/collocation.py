@@ -51,8 +51,9 @@ def legendre_matrices(m: int):
         for i, z in enumerate(zg):
             L[j, i] = lagrange(j, z)
             dL[j, i] = dlagrange(j, z)
-    return (jnp.asarray(L), jnp.asarray(dL), jnp.asarray(zg),
-            jnp.asarray(wg))
+    # cache host numpy constants — jnp arrays created inside a trace would
+    # leak tracers through the lru_cache
+    return L, dL, zg, wg
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,1 @@
+from .freezing import EigenWave, travelling_wave_problem

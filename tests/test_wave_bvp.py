@@ -1,0 +1,125 @@
+"""Traveling waves (freezing) + BVP tests (mirrors ref test/wave/test_wave.jl
+and test/bvp/ — bratu through multiple discretizations)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bifurcationkit.jl_tpu as bk
+
+# Bratu: u'' + lam e^u = 0, u(0)=u(1)=0; fold at lam* = 3.513830719
+BRATU_FOLD = 3.513830719
+
+
+def bratu_model():
+    def F(u, par):
+        return jnp.array([u[1], -par["lam"] * jnp.exp(u[0])])
+
+    def g(u0, u1, par):
+        return jnp.array([u0[0], u1[0]])
+
+    return bk.BVPModel(F, g)
+
+
+@pytest.mark.parametrize("disc", [bk.BVPCollocation(Ntst=15, m=4),
+                                  bk.BVPShooting(M=6, steps_per_segment=80)])
+def test_bratu_fold(disc):
+    model = bratu_model()
+    X0 = bk.discretize(model, disc, lambda t: np.array([0.1 * t * (1 - t),
+                                                        0.1 * (1 - 2 * t)]),
+                       2)
+    prob = bk.bvp_problem(model, disc, X0, {"lam": 0.5}, "lam", n=2)
+    sol = bk.newton(prob, bk.NewtonPar(tol=1e-10))
+    assert bool(sol.converged)
+    cp = bk.ContinuationPar(ds=0.05, dsmax=0.2, dsmin=1e-5, p_min=0.01,
+                            p_max=4.0, max_steps=120, detect_bifurcation=0,
+                            detect_fold=True,
+                            newton_options=bk.NewtonPar(tol=1e-9))
+    br = bk.continuation(prob.re_make(u0=sol.u), bk.PALC(), cp)
+    folds = br.get_special_points("fold")
+    assert len(folds) >= 1
+    # coarse monotony marker within a step of the fold
+    assert abs(folds[0].param - BRATU_FOLD) < 2e-2
+    # refine with the fold minimally-augmented Newton: gold value to 1e-6
+    # (discretization-limited for the coarse meshes used here)
+    idx = br.specialpoint.index(folds[0])
+    solf = bk.newton_fold(br, idx)
+    assert bool(solf.converged)
+    lam_fold = float(solf.u[-1])
+    tol = 5e-5 if isinstance(disc, bk.BVPCollocation) else 5e-5
+    assert abs(lam_fold - BRATU_FOLD) < tol
+
+
+def test_bratu_cross_method_consistency():
+    """Same solution through collocation & shooting must agree
+    (ref test/bvp cross-method consistency)."""
+    model = bratu_model()
+    sols = {}
+    for name, disc in (("coll", bk.BVPCollocation(Ntst=15, m=4)),
+                       ("shoot", bk.BVPShooting(M=8, steps_per_segment=80))):
+        X0 = bk.discretize(model, disc,
+                           lambda t: np.array([0.3 * t * (1 - t),
+                                               0.3 * (1 - 2 * t)]), 2)
+        prob = bk.bvp_problem(model, disc, X0, {"lam": 1.0}, "lam", n=2)
+        sol = bk.newton(prob, bk.NewtonPar(tol=1e-11))
+        assert bool(sol.converged)
+        u = np.asarray(sol.u).reshape(-1, 2)
+        # u(0.5) via the nearest time sample
+        ts = disc.times()
+        sols[name] = np.interp(0.5, ts, u[:, 0])
+    assert sols["coll"] == pytest.approx(sols["shoot"], abs=1e-6)
+
+
+def test_travelling_wave_freezing():
+    """Frozen Nagumo front: u_t = u_xx + u(1-u)(u-a); exact front speed
+    c = sqrt(2) (1/2 - a) for the wave between 0 and 1."""
+    n = 256
+    L = 60.0
+    h = L / n
+    a = 0.25
+
+    def F(u, par):
+        aa = par["a"]
+        lap = (jnp.roll(u, 1) - 2 * u + jnp.roll(u, -1)) / h ** 2
+        return lap + u * (1 - u) * (u - aa)
+
+    # periodic domain: use a pulse made of two fronts? For the freezing test
+    # use a single front with far-field values pinned by a mask is complex —
+    # instead test on the periodic domain with a stationary profile: the
+    # frozen problem must converge and report speed ~ c for a front pair is
+    # ambiguous; use the known exact travelling front on an unbounded domain
+    # restricted to a large box with Neumann closure:
+    def F_neumann(u, par):
+        aa = par["a"]
+        um = jnp.concatenate([u[:1], u[:-1]])
+        up = jnp.concatenate([u[1:], u[-1:]])
+        lap = (um - 2 * u + up) / h ** 2
+        return lap + u * (1 - u) * (u - aa)
+
+    xs = np.linspace(-L / 2, L / 2, n)
+    # exact front: u = 1/(1 + exp(-x/sqrt(2))), speed c = (1-2a)/sqrt(2)
+    u_exact = 1.0 / (1.0 + np.exp(-xs / np.sqrt(2)))
+    c_exact = (1 - 2 * a) / np.sqrt(2)
+
+    prob = bk.BifurcationProblem(F_neumann, u0=jnp.asarray(u_exact),
+                                 params={"a": a}, lens="a")
+
+    def ddx(u):
+        # centered with one-sided closure (Neumann box, no wrap-around)
+        um = jnp.concatenate([u[:1], u[:-1]])
+        up = jnp.concatenate([u[1:], u[-1:]])
+        return (up - um) / (2 * h)
+
+    # travelling wave u(x - c t): F(U) + c U' = 0 with s = c.  For the
+    # increasing front (0 left, 1 right) with a < 1/2 the u=1 state invades
+    # leftward, so c = -(1-2a)/sqrt(2).
+    tw = bk.travelling_wave_problem(prob, ddx,
+                                    speeds0=jnp.array([-c_exact]))
+    sol = bk.newton(tw, bk.NewtonPar(tol=1e-8, max_iterations=30))
+    assert bool(sol.converged)
+    s = float(sol.u[-1])
+    assert s == pytest.approx(-c_exact, abs=2e-4)
+    # profile stays a front from 0 to 1
+    u = np.asarray(sol.u[:-1])
+    assert u[0] == pytest.approx(0.0, abs=1e-2)
+    assert u[-1] == pytest.approx(1.0, abs=1e-2)
