@@ -34,8 +34,9 @@ from .continuation import (AutoSwitch, Bordered, Branch, ContIterable,
 from .detection import (ContinuousEvent, DiscreteEvent, PairOfEvents,
                         SetOfEvents, SpecialPoint, fold_detect_event,
                         save_at_event)
-from .codim2 import (continuation_fold, continuation_hopf, newton_fold,
-                     newton_hopf)
+from .codim2 import (bt_normal_form, bt_predictors, continuation_fold,
+                     continuation_hopf, cusp_normal_form,
+                     get_normal_form_codim2, newton_fold, newton_hopf)
 from .periodic import (Collocation, Flow, FloquetEig, PoincareShooting,
                        Shooting, Trapeze, continuation_hopf_po,
                        continuation_po, newton_po, orbit_from_branch,

@@ -1,0 +1,182 @@
+"""Codim-2 normal forms (ref src/codim2/NormalForms.jl).
+
+* Bogdanov-Takens: Jordan pair (q0, q1) + adjoint pair, quadratic
+  coefficients of  xi0' = xi1, xi1' = a xi0^2 + b xi0 xi1
+  (ref :141-506; Kuznetsov 8.4), with local fold/Hopf curve predictors.
+* Cusp: cubic coefficient c of the reduced equation on the fold curve
+  (ref :15-141).
+* Bautin / Zero-Hopf / Hopf-Hopf: point records with eigen-data (the l2 /
+  coupling coefficients are round-2 work).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..detection.points import (Bautin, BogdanovTakens, Cusp, HopfHopf,
+                                ZeroHopf)
+from ..linalg.eig import dense_eig
+from ..normal_forms.codim1 import _FlatProblem, _inner
+
+
+def _bt_basis(J):
+    """Jordan chain q0, q1 (J q0 = 0, J q1 = q0) and adjoint chain p1, p0
+    (J' p1 = 0, J' p0 = p1) normalized so <p0,q0> = <p1,q1> = 1,
+    <p1,q0> = <p0,q1> = 0 (ref :170-260)."""
+    J = np.asarray(J)
+    n = J.shape[0]
+    # null vector via SVD (robust for the near-defective jacobian)
+    U, S, Vh = np.linalg.svd(J)
+    q0 = Vh[-1].real
+    q0 /= np.linalg.norm(q0)
+    p1 = U[:, -1].real
+    p1 /= np.linalg.norm(p1)
+    # generalized eigenvector: J q1 = q0, solved in the least-squares sense
+    # with the singular direction projected out
+    q1, *_ = np.linalg.lstsq(J, q0, rcond=None)
+    # J' p0 = p1
+    p0, *_ = np.linalg.lstsq(J.T, p1, rcond=None)
+
+    # bi-orthonormalization (Kuznetsov 8.4):
+    # scale so <p1, q0> != 0 ... we need <q0,p0>=<q1,p1>=1, <q0,p1>=<q1,p0>=0
+    # first normalize p1 against q1 and p0 against q0
+    q1 = q1 - np.dot(q0, q1) / np.dot(q0, q0) * q0 * 0  # keep chain relation
+    s = np.dot(p1, q1)
+    if abs(s) < 1e-12:
+        raise RuntimeError("BT basis: <p1, q1> ~ 0; point is not a clean BT")
+    p1 = p1 / s
+    p0 = p0 - np.dot(p0, q1) / np.dot(p1, q1) * p1
+    s0 = np.dot(p0, q0)
+    if abs(s0) < 1e-12:
+        raise RuntimeError("BT basis: <p0, q0> ~ 0")
+    p0 = p0 / s0
+    # adjust q1 so <p0, q1> = 0 while keeping J q1 = q0 (add multiples of q0)
+    q1 = q1 - np.dot(p0, q1) * q0
+    return (jnp.asarray(q0), jnp.asarray(q1), jnp.asarray(p0),
+            jnp.asarray(p1))
+
+
+def bt_normal_form(prob, x0, params, verbose: bool = False):
+    """BT quadratic coefficients a, b (ref :141-340):
+    a = <p1, B(q0,q0)>/2,  b = <p1, B(q0,q1)> + <p0, B(q0,q0)>."""
+    fp = _FlatProblem(prob, x0, params)
+    J = fp.jacobian()
+    q0, q1, p0, p1 = _bt_basis(J)
+    B = lambda u, v: fp.d2F(u, v)
+    Bq0q0 = B(q0, q0)
+    Bq0q1 = B(q0, q1)
+    a = float(jnp.dot(p1, Bq0q0)) / 2.0
+    b = float(jnp.dot(p1, Bq0q1) + jnp.dot(p0, Bq0q0))
+    # (a, b) ~ (-a, -b) under the basis flip (q0,q1,p0,p1) -> -(...);
+    # fix the convention a > 0 (the invariant is sign(a*b) and magnitudes)
+    if a < 0:
+        a, b = -a, -b
+        q0, q1, p0, p1 = -q0, -q1, -p0, -p1
+    pt = BogdanovTakens(x0=fp.flat0, p=None, params=params, lens=prob.lens,
+                        zeta=(q0, q1), zeta_star=(p0, p1),
+                        nf={"a": a, "b": b}, prob=prob)
+    if verbose:
+        print(f"BT normal form: a = {a:.6g}, b = {b:.6g}")
+    return pt
+
+
+def bt_predictors(bt: BogdanovTakens, ds: float):
+    """Local curve predictors emanating from a BT point in normal-form
+    coordinates (beta1, beta2) (ref :342-506):
+      fold curve:  beta1 = -a s^2,  beta2 free ~ 0 (parabola 4 a beta1 =
+                   -(beta2)^2 shape after unfolding)
+      Hopf curve:  beta1 = 0-side with omega^2 = beta... in NF coordinates
+                   the Hopf curve is beta1 = 0, beta2 < 0 for a>0, b<0.
+    Returns dict of parameterizations s -> (beta1, beta2)."""
+    a, b = bt.nf["a"], bt.nf["b"]
+
+    # unfolding eta1' = eta2, eta2' = beta1 + beta2 eta1 + a eta1^2
+    #                                 + b eta1 eta2:
+    # equilibria: a eta1^2 + beta2 eta1 + beta1 = 0
+    def fold(s):
+        """Fold curve: discriminant zero, beta1 = beta2^2 / (4a)."""
+        return {"beta2": s, "beta1": s * s / (4.0 * a)}
+
+    def hopf(s):
+        """Hopf curve: the eta1 = 0 equilibrium with det = -beta2 > 0:
+        {beta1 = 0, beta2 = -|s|}."""
+        return {"beta1": 0.0, "beta2": -abs(s)}
+
+    return {"fold": fold, "hopf": hopf}
+
+
+def cusp_normal_form(prob, x0, params, verbose: bool = False):
+    """Cubic coefficient at a cusp (ref :15-141): with q, p the null pair of
+    J (b20 = 0 at the cusp), c = <p, C(q,q,q) + 3 B(q, h2)>/6 where
+    L h2 = -E(B(q,q))."""
+    fp = _FlatProblem(prob, x0, params)
+    J = fp.jacobian()
+    vals, vecs = dense_eig(J)
+    i0 = int(np.argmin(np.abs(np.asarray(vals).real)))
+    q = jnp.asarray(np.real(np.asarray(vecs)[:, i0]))
+    q = q / jnp.linalg.norm(q)
+    valsT, vecsT = dense_eig(J.T)
+    iT = int(np.argmin(np.abs(np.asarray(valsT).real)))
+    p = jnp.asarray(np.real(np.asarray(vecsT)[:, iT]))
+    p = p / jnp.dot(p, q)
+
+    n = fp.n
+    B = lambda u, v: fp.d2F(u, v)
+    C = lambda u, v, w: fp.d3F(u, v, w)
+    Bqq = B(q, q)
+    b20 = float(jnp.dot(p, Bqq))
+    # bordered solve for h2: [J p; q' 0][h2; s] = [E(-Bqq); 0]
+    E = lambda x: x - jnp.dot(p, x) * q
+    A = jnp.zeros((n + 1, n + 1))
+    A = A.at[:n, :n].set(J).at[:n, n].set(p).at[n, :n].set(q)
+    rhs = jnp.concatenate([E(-Bqq), jnp.zeros(1)])
+    h2 = jnp.linalg.solve(A, rhs)[:n]
+    c = float(jnp.dot(p, C(q, q, q) + 3.0 * B(q, h2))) / 6.0
+    pt = Cusp(x0=fp.flat0, p=None, params=params, lens=prob.lens,
+              zeta=q, zeta_star=p, nf={"c": c, "b20": b20}, prob=prob)
+    if verbose:
+        print(f"Cusp normal form: c = {c:.6g} (b20 = {b20:.3g})")
+    return pt
+
+
+def get_normal_form_codim2(br_codim2, ind_bif: int, verbose: bool = False):
+    """Normal form at a detected codim-2 special point on a fold/hopf MA
+    curve (bt/cusp/gh/zh/hh)."""
+    gamma = getattr(br_codim2, "gamma", br_codim2)
+    sp = gamma.specialpoint[ind_bif]
+    maprob = gamma.prob
+    inner = maprob.inner_prob
+    n = maprob.n_inner
+    X = jnp.asarray(sp.x)
+    x = maprob.unravel_inner(X[:n])
+    p1 = float(X[n])
+    # set p1 through lens1 and the curve parameter p2 through the MA
+    # problem's own (lens2) optic
+    par_dict = {"_inner": maprob.inner_lens.set(
+        gamma.prob.params["_inner"], p1)}
+    par_dict = maprob.lens.set(par_dict, sp.param)
+    params = par_dict["_inner"]
+
+    if sp.type == "bt":
+        pt = bt_normal_form(inner, x, params, verbose=verbose)
+        pt.p = (p1, sp.param)
+        return pt
+    if sp.type == "cusp":
+        pt = cusp_normal_form(inner, x, params, verbose=verbose)
+        pt.p = (p1, sp.param)
+        return pt
+    if sp.type == "gh":
+        return Bautin(x0=X[:n], p=(p1, sp.param), params=params,
+                      lens=inner.lens, omega=float(X[n + 1])
+                      if X.shape[0] > n + 1 else 0.0, prob=inner)
+    if sp.type == "zh":
+        return ZeroHopf(x0=X[:n], p=(p1, sp.param), params=params,
+                        lens=inner.lens, prob=inner)
+    if sp.type == "hh":
+        return HopfHopf(x0=X[:n], p=(p1, sp.param), params=params,
+                        lens=inner.lens, prob=inner)
+    raise ValueError(f"point {ind_bif} has type {sp.type!r}; expected a "
+                     "codim-2 type (bt/cusp/gh/zh/hh)")

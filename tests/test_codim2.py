@@ -140,3 +140,42 @@ def test_newton_fold_refine():
     u_f, p2_f = float(sol.u[0]), float(sol.u[1])
     assert abs(abs(u_f) - 1 / np.sqrt(3)) < 1e-8
     assert abs(abs(p2_f) - 2 / (3 * np.sqrt(3))) < 1e-8
+
+
+def test_bt_normal_form_coefficients():
+    # bt_model: y' = b1 + b2 x + x^2 - x y => a = 1, b = -1 at the BT
+    prob = bt_model(b1=0.0, b2=0.0)
+    pt = bk.bt_normal_form(prob, jnp.zeros(2), prob.params)
+    assert pt.nf["a"] == pytest.approx(1.0, abs=1e-8)
+    assert pt.nf["b"] == pytest.approx(-1.0, abs=1e-8)
+    preds = bk.bt_predictors(pt, 0.1)
+    f = preds["fold"](0.2)
+    # fold curve beta1 = beta2^2/(4a)
+    assert f["beta1"] == pytest.approx(0.2 ** 2 / 4)
+
+
+def test_cusp_normal_form_coefficient():
+    # cusp model u^3 + p1 u + p2 at the cusp (u=0, p1=0, p2=0): c = 1
+    prob = cusp_model(p1=0.0, p2=0.0)
+    pt = bk.cusp_normal_form(prob, jnp.zeros(1), prob.params)
+    assert pt.nf["c"] == pytest.approx(1.0, abs=1e-8)
+    assert abs(pt.nf["b20"]) < 1e-10
+
+
+def test_codim2_nf_from_curve():
+    # BT point detected on the fold curve of bt_model -> bt_normal_form
+    prob = bt_model(b1=0.5, b2=2.0)
+    cp1 = _cp(ds=0.01, dsmax=0.05, p_min=0.2, p_max=1.5, max_steps=150,
+              detect_bifurcation=2, detect_fold=True, nev=2)
+    br = bk.continuation(prob, bk.PALC(), cp1)
+    pts = [sp for sp in br.specialpoint if sp.type in ("fold", "bp")]
+    idx = br.specialpoint.index(pts[0])
+    cp2 = _cp(ds=-0.02, dsmax=0.05, p_min=-2.5, p_max=2.5, max_steps=250,
+              detect_bifurcation=0, detect_fold=False)
+    brf = bk.continuation_fold(br, idx, "b2", cp2,
+                               detect_codim2_bifurcation=2)
+    bts = [sp for sp in brf.specialpoint if sp.type == "bt"]
+    i = brf.gamma.specialpoint.index(bts[0])
+    pt = bk.get_normal_form_codim2(brf, i)
+    assert pt.nf["a"] == pytest.approx(1.0, abs=1e-2)
+    assert pt.nf["b"] == pytest.approx(-1.0, abs=5e-2)
