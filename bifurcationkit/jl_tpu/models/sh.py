@@ -11,15 +11,16 @@ from ..core.problem import BifurcationProblem
 
 def _lap_neumann(u, h2, axis):
     """1D second difference with the reference's modified-corner (Neumann)
-    closure (ref examples/SH2d-fronts.jl:20-24: D2[1,1] = -1/h^2)."""
-    um = jnp.concatenate([jax.lax.slice_in_dim(u, 0, 1, axis=axis),
-                          jax.lax.slice_in_dim(u, 0, u.shape[axis] - 1,
-                                               axis=axis)], axis=axis)
-    up = jnp.concatenate([jax.lax.slice_in_dim(u, 1, u.shape[axis],
-                                               axis=axis),
-                          jax.lax.slice_in_dim(u, u.shape[axis] - 1,
-                                               u.shape[axis], axis=axis)],
-                         axis=axis)
+    closure (ref examples/SH2d-fronts.jl:20-24: D2[1,1] = -1/h^2).
+
+    Edge-replicating pad + slice: lowers to fused shifts at HBM bandwidth
+    (concatenate-based shifts are several times slower on TPU)."""
+    n = u.shape[axis]
+    pw = [(0, 0)] * u.ndim
+    pw[axis] = (1, 1)
+    up2 = jnp.pad(u, pw, mode="edge")
+    um = jax.lax.slice_in_dim(up2, 0, n, axis=axis)
+    up = jax.lax.slice_in_dim(up2, 2, n + 2, axis=axis)
     return (um - 2 * u + up) / h2
 
 
