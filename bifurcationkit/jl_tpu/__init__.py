@@ -44,6 +44,7 @@ from .periodic import (Collocation, Flow, FloquetEig, PoincareShooting,
 from .periodic.codim2 import (continuation_fold_po, continuation_ns,
                               continuation_pd, pd_branch_switch)
 from .periodic.normal_forms import get_normal_form_po, poincare_return_map
+from .periodic.cop import COPLS, collocation_block_jacobian, cop_solve
 from .ops import BSRMatrix, DIAMatrix, ELLMatrix, dia_spmv
 from .wave import travelling_wave_problem
 from .bvp import (BVPCollocation, BVPModel, BVPShooting, bvp_problem,

@@ -8,3 +8,4 @@ from .trapezoid import Trapeze
 from .codim2 import (continuation_fold_po, continuation_ns, continuation_pd,
                      pd_branch_switch)
 from .normal_forms import get_normal_form_po, poincare_return_map
+from .cop import COPLS, COPBlocks, collocation_block_jacobian, cop_solve

@@ -34,7 +34,8 @@ from .trapezoid import Trapeze
 
 def periodic_orbit_problem(prob_vf: BifurcationProblem, disc, X0,
                            params=None, uref=None,
-                           update_section_every_step: int = 1):
+                           update_section_every_step: int = 1,
+                           use_cop: bool = False):
     """Build the PO BifurcationProblem for any discretization."""
     params = prob_vf.params if params is None else params
     flatvf, unravel_vf = ravel(prob_vf.u0)
@@ -116,7 +117,16 @@ def periodic_orbit_problem(prob_vf: BifurcationProblem, disc, X0,
     def eig_jacobian(X, par):
         return disc.monodromy(prob_vf, X, par)
 
+    jac = None
+    if use_cop:
+        if not isinstance(disc, Collocation):
+            raise ValueError("use_cop requires a Collocation discretization")
+        from .cop import collocation_block_jacobian
+
+        jac = lambda X, par: collocation_block_jacobian(disc, prob_vf, X,
+                                                        par)
     po_prob = BifurcationProblem(F_po, u0=X0, params=po_par, lens=lens,
+                                 jac=jac,
                                  record_from_solution=record, update=update)
     object.__setattr__(po_prob, "eig_jacobian", eig_jacobian)
     object.__setattr__(po_prob, "disc", disc)
