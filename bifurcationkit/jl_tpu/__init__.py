@@ -46,6 +46,9 @@ from .periodic.codim2 import (continuation_fold_po, continuation_ns,
 from .periodic.normal_forms import get_normal_form_po, poincare_return_map
 from .periodic.cop import COPLS, collocation_block_jacobian, cop_solve
 from .ops import BSRMatrix, DIAMatrix, ELLMatrix, dia_spmv
+from .utils import (load_branch, plot_bifurcation_diagram, plot_branch,
+                    plot_periodic_orbit, resume_data, save_branch,
+                    save_every_step, savefig)
 from .wave import travelling_wave_problem
 from .bvp import (BVPCollocation, BVPModel, BVPShooting, bvp_problem,
                   discretize)
