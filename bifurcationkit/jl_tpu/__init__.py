@@ -23,7 +23,8 @@ from .linalg import (ArnoldiEig, BiCGStab, DenseEig, DenseLS, FlatOperator,
                      GMRES, ShiftInvertEig)
 from .linalg.bordered import (BorderingBLS, LSFromBLS, MatrixBLS,
                               MatrixFreeBLS)
-from .newton import NonLinearSolution, cb_max_norm, newton
+from .newton import (NonLinearSolution, cb_max_norm,
+                     cb_max_norm_and_dp, newton)
 from .deflation import (DeflationOperator, deflated_newton,
                         deflated_problem)
 from .continuation.deflated import DCResult, DefCont, deflated_continuation
@@ -32,8 +33,8 @@ from .continuation import (AutoSwitch, Bordered, Branch, ContIterable,
                            Natural, PALC, Polynomial, Secant, continuation,
                            merge_branches)
 from .detection import (ContinuousEvent, DiscreteEvent, PairOfEvents,
-                        SetOfEvents, SpecialPoint, fold_detect_event,
-                        save_at_event)
+                        SetOfEvents, SpecialPoint, bif_detect_event,
+                        fold_detect_event, save_at_event)
 from .codim2 import (bt_normal_form, bt_predictors, continuation_fold,
                      continuation_hopf, cusp_normal_form,
                      get_normal_form_codim2, newton_fold, newton_hopf)

@@ -103,6 +103,19 @@ def save_at_event(positions: Sequence[float]) -> ContinuousEvent:
                            labels=[f"save-{p}" for p in positions])
 
 
+def bif_detect_event() -> DiscreteEvent:
+    """`BifDetectEvent` — expose bifurcation detection through the event
+    system (ref src/events/BifurcationDetection.jl:48): the event value is
+    the current number of unstable eigenvalues, so any change marks a
+    bifurcation (useful when detect_bifurcation must stay <= 1)."""
+
+    def cond(it, state):
+        return (state.n_unstable[0],)
+
+    return DiscreteEvent(nb=1, condition=cond, compute_eigenelements=True,
+                         labels=["bif"])
+
+
 def fold_detect_event() -> ContinuousEvent:
     """Detect folds as zeros of tau.p (ref `FoldDetectEvent`)."""
 

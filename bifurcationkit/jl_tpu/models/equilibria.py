@@ -171,3 +171,43 @@ def brusselator_1d(n: int = 100, alpha: float = 2.0, beta: float = 5.45,
     u0 = jnp.concatenate([jnp.full((n,), alpha), jnp.full((n,), beta / alpha)])
     params = {"alpha": alpha, "beta": beta, "D1": D1, "D2": D2, "l": l}
     return BifurcationProblem(F, u0=u0, params=params, lens="l")
+
+
+def _lap_dirichlet_2d(u, hx2, hy2):
+    """5-point Laplacian with homogeneous Dirichlet closure (zero-padded;
+    ref examples/cGL2d.jl:6-22: plain -2 diagonal at the corners)."""
+    z = jnp.pad(u, ((1, 1), (1, 1)))
+    return ((z[:-2, 1:-1] - 2 * u + z[2:, 1:-1]) / hx2
+            + (z[1:-1, :-2] - 2 * u + z[1:-1, 2:]) / hy2)
+
+
+def cgl2d(Nx: int = 41, Ny: int = 21, lx: float = np.pi,
+          ly: float = np.pi / 2, r: float = 0.5, mu: float = 0.1,
+          nu: float = 1.0, c3: float = -1.0, c5: float = 1.0,
+          gamma: float = 0.0):
+    """2D complex Ginzburg-Landau in real components (ref examples/cGL2d.jl:
+    25-86): state (2, Nx, Ny) fields (u1, u2), Dirichlet Laplacian, Hopf
+    bifurcations in r followed by periodic orbits.  BASELINE.json config."""
+    hx = 2 * lx / Nx
+    hy = 2 * ly / Ny
+    hx2, hy2 = hx * hx, hy * hy
+
+    def F(u, par):
+        u1, u2 = u[0], u[1]
+        rr, m, n_ = par["r"], par["mu"], par["nu"]
+        cc3, cc5, g = par["c3"], par["c5"], par["gamma"]
+        ua = u1 * u1 + u2 * u2
+        f1 = (_lap_dirichlet_2d(u1, hx2, hy2) + rr * u1 - n_ * u2
+              - ua * (cc3 * u1 - m * u2) - cc5 * ua ** 2 * u1 + g)
+        f2 = (_lap_dirichlet_2d(u2, hx2, hy2) + rr * u2 + n_ * u1
+              - ua * (cc3 * u2 + m * u1) - cc5 * ua ** 2 * u2)
+        return jnp.stack([f1, f2])
+
+    u0 = jnp.zeros((2, Nx, Ny))
+    params = {"r": r, "mu": mu, "nu": nu, "c3": c3, "c5": c5,
+              "gamma": gamma}
+    return BifurcationProblem(
+        F, u0=u0, params=params, lens="r",
+        record_from_solution=lambda x, p, **k: {
+            "param": p, "norm": jnp.linalg.norm(x.ravel()),
+            "norminf": jnp.max(jnp.abs(x))})

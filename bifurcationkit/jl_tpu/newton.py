@@ -54,11 +54,26 @@ def default_callback(state_dict, **kwargs):
 
 
 def cb_max_norm(max_norm: float):
-    """Callback rejecting iterates with ||x|| > max_norm
+    """Callback rejecting iterates with residual norm > max_norm
     (ref `cbMaxNorm`, src/Newton.jl:156-164)."""
 
     def cb(d, **kwargs):
         return d["residual_norm"] < max_norm
+
+    return cb
+
+
+def cb_max_norm_and_dp(max_norm: float, max_dp: float, p_ref: float):
+    """Reject iterates with large residual OR parameter excursion
+    (ref `cbMaxNormAndDp`, src/Newton.jl:166-179).  Use with the PALC
+    corrector by closing over the step's reference parameter."""
+    import jax.numpy as _jnp
+
+    def cb(d, **kwargs):
+        ok = d["residual_norm"] < max_norm
+        if "p" in d:
+            ok = _jnp.logical_and(ok, _jnp.abs(d["p"] - p_ref) < max_dp)
+        return ok
 
     return cb
 
