@@ -67,16 +67,25 @@ def swift_hohenberg_2d(Nx: int = 151, Ny: int = 100, lx: float = 8 * np.pi,
 
 
 def swift_hohenberg_periodic_2d(N: int = 512, L: float = 16 * np.pi,
-                                l: float = -0.15, nu: float = 1.3):
+                                l: float = -0.15, nu: float = 1.3,
+                                dtype=None):
     """Periodic SH2d with the spectral diagonal operator — the GPU example's
     FFT path (ref examples/SH2d-fronts-cuda.jl:31-65) rebuilt on jnp.fft.
-    The linear solve (I + Delta)^2-shifted is diagonal in Fourier space."""
+    The linear solve (I + Delta)^2-shifted is diagonal in Fourier space.
+
+    dtype: float64 (default on CPU) or float32 — TPU FFT supports complex64
+    only, so pass jnp.float32 for TPU runs (Newton tol ~1e-5)."""
+    import jax as _jax
+
+    if dtype is None:
+        dtype = (jnp.float64 if _jax.default_backend() == "cpu"
+                 else jnp.float32)
     h = L / N
     k = np.fft.fftfreq(N, d=h) * 2 * np.pi
     KX = k[:, None]
     KY = k[None, :]
     sym = -((1 - KX ** 2 - KY ** 2) ** 2)   # symbol of -(I+Delta)^2
-    sym = jnp.asarray(sym)
+    sym = jnp.asarray(sym, dtype=dtype)
 
     def apply_L(u):
         return jnp.real(jnp.fft.ifft2(sym * jnp.fft.fft2(u)))
@@ -91,8 +100,10 @@ def swift_hohenberg_periodic_2d(N: int = 512, L: float = 16 * np.pi,
     X = np.linspace(-L / 2, L / 2, N, endpoint=False)
     sol0 = (np.cos(X)[:, None] * np.cos(X)[None, :]) * 1.1
 
-    prob = BifurcationProblem(F, u0=jnp.asarray(sol0),
-                              params={"l": l, "nu": nu}, lens="l")
+    prob = BifurcationProblem(F, u0=jnp.asarray(sol0, dtype=dtype),
+                              params={"l": jnp.asarray(l, dtype),
+                                      "nu": jnp.asarray(nu, dtype)},
+                              lens="l")
     object.__setattr__(prob, "spectral_precond", precond)
     return prob
 

@@ -1,0 +1,57 @@
+"""Swift-Hohenberg 2D (ref examples/SH2d-fronts.jl + SH2d-fronts-cuda.jl):
+matrix-free Newton-GMRES with the exact spectral preconditioner, PALC
+continuation of the roll branch with fold detection.
+
+Run on TPU (default) or CPU (JAX_PLATFORMS workaround in tests/conftest.py).
+    python examples/sh2d_fronts.py [N]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import bifurcationkit.jl_tpu as bk
+from bifurcationkit.jl_tpu import models
+
+
+def main(N=256):
+    import jax
+
+    on_tpu = jax.default_backend() != "cpu"
+    prob = models.swift_hohenberg_periodic_2d(N=N, L=16 * np.pi, l=-0.15)
+    tol_n, tol_c = (2e-4, 5e-4) if on_tpu else (1e-8, 1e-7)
+    ls = bk.GMRES(restart=40, maxiter=250, rtol=1e-7 if on_tpu else 1e-9,
+                  precond=prob.spectral_precond)
+
+    t0 = time.time()
+    sol = bk.newton(prob, bk.NewtonPar(tol=tol_n, max_iterations=25,
+                                       linsolver=ls))
+    print(f"Newton ({N*N} dof, matrix-free GMRES + spectral precond): "
+          f"converged={bool(sol.converged)} in {int(sol.itnewton)} iters, "
+          f"{time.time()-t0:.1f}s (incl. compile)")
+
+    cp = bk.ContinuationPar(ds=-0.005, dsmax=0.02, dsmin=1e-6, p_min=-0.8,
+                            p_max=0.2, max_steps=60, detect_bifurcation=0,
+                            detect_fold=True,
+                            newton_options=bk.NewtonPar(
+                                tol=tol_c, max_iterations=15, linsolver=ls))
+    t0 = time.time()
+    br = bk.continuation(prob.re_make(u0=sol.u), bk.PALC(), cp)
+    dt = time.time() - t0
+    print(br)
+    print(f"continuation: {len(br)} steps in {dt:.1f}s = "
+          f"{len(br)/dt:.2f} steps/s")
+    try:
+        ax = bk.plot_branch(br)
+        bk.savefig(ax, "sh2d_branch.png")
+        print("saved sh2d_branch.png")
+    except Exception:
+        pass
+    return br
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 256)
