@@ -28,8 +28,8 @@ def main():
     defl = bk.DeflationOperator(power=2.0, alpha=1.0, max_roots=8)
     defl.push(sol.u)
     sol2 = bk.deflated_newton(prob, defl, bk.NewtonPar(tol=1e-8,
-                                                       max_iterations=50),
-                              x0=sol.u * 0.5)
+                                                       max_iterations=120),
+                              x0=sol.u * 2.0)
     print("deflated newton found distinct solution:", bool(sol2.converged))
     return br
 
