@@ -63,6 +63,7 @@ class Collocation:
 
     Ntst: int = 20
     m: int = 4
+    adapt_mesh: bool = False
 
     @property
     def n_nodes(self) -> int:
@@ -168,6 +169,37 @@ class Collocation:
         Mn, _ = jax.lax.scan(chain, eye, maps)
         return Mn
 
+    def interval_maps(self, prob_vf, X, po_par):
+        """Per-interval fundamental maps M_j: u(tau_j) -> u(tau_{j+1})
+        (stage 1 of FloquetColl without the product — feed these to
+        FloquetGEV for the well-conditioned pencil formulation)."""
+        L, dL, zg, wg = legendre_matrices(self.m)
+        dL = jnp.asarray(dL)
+        L = jnp.asarray(L)
+        params = po_par["_inner"]
+        mesh = po_par["_mesh"]
+        n = po_par["_uref"].shape[1]
+        nodes, T = self.split(X, n)
+        U = self.local_nodes(nodes)
+        d = mesh[1:] - mesh[:-1]
+        m = self.m
+        p = jnp.einsum("li,jln->jin", L, U)
+        Jp = jax.vmap(lambda x: prob_vf.jacobian(x, params))(
+            p.reshape(-1, n)).reshape(self.Ntst, m, n, n)
+        alpha = T * d / 2.0
+        eye = jnp.eye(n, dtype=X.dtype)
+
+        def interval_map(Jj, aj):
+            blocks = (dL[1:, :].T[:, :, None, None] * eye[None, None]
+                      - aj * L[1:, :].T[:, :, None, None] * Jj[:, None])
+            A = blocks.transpose(0, 2, 1, 3).reshape(m * n, m * n)
+            rhs_blocks = -(dL[0, :][:, None, None] * eye[None]
+                           - aj * L[0, :][:, None, None] * Jj)
+            sol = jnp.linalg.solve(A, rhs_blocks.reshape(m * n, n))
+            return sol[-n:, :]
+
+        return jax.vmap(interval_map)(Jp, alpha)
+
     # ------------------------------------------------------------------
     def generate_solution(self, orbit_fn, T, n: int, mesh=None):
         """Sample a 2pi-periodic function onto the node mesh
@@ -187,6 +219,48 @@ class Collocation:
         phi = jax.vmap(lambda x: prob_vf.F(x, params))(
             p.reshape(-1, n)).reshape(self.Ntst, self.m, n)
         return nodes, phi
+
+    # ------------------------------------------------------------------
+    def adapt(self, nodes, mesh, verbose: bool = False):
+        """Equidistribute the coarse mesh on the interpolation-error density
+        (ref compute_error!, PeriodicOrbitCollocation.jl:1235-1400, de Boor).
+
+        Host-side (adaptation is occasional): estimates the m-th derivative
+        per interval from the local Lagrange coefficients, equidistributes
+        |u^(m)|^{1/m} h, and re-interpolates the nodes onto the new mesh.
+        Returns (new_nodes, new_mesh)."""
+        nodes_np = np.asarray(nodes)
+        mesh = np.asarray(mesh)
+        m = self.m
+        sig = np.linspace(-1.0, 1.0, m + 1)
+        # m-th divided difference per interval ~ u^(m) / m!
+        dens = np.zeros(self.Ntst)
+        for j in range(self.Ntst):
+            U = nodes_np[j * m: j * m + m + 1]
+            # divided differences on the sigma nodes
+            dd = U.astype(float)
+            xs = sig.copy()
+            for order in range(1, m + 1):
+                dd = (dd[1:] - dd[:-1]) / (
+                    (xs[order:] - xs[:-order])[:, None])
+            scale = (mesh[j + 1] - mesh[j]) / 2.0
+            dens[j] = (np.linalg.norm(dd[0]) / max(scale, 1e-12) ** m
+                       ) ** (1.0 / m) + 1e-8
+        # equidistribute the integral of the density
+        w = dens * np.diff(mesh)
+        cum = np.concatenate([[0.0], np.cumsum(w)])
+        cum /= cum[-1]
+        targets = np.linspace(0, 1, self.Ntst + 1)
+        new_mesh = np.interp(targets, cum, mesh)
+        new_mesh[0], new_mesh[-1] = 0.0, 1.0
+        # keep adjacent intervals within a sane ratio
+        new_nodes = np.stack([
+            self.interpolate(nodes_np, mesh, t)
+            for t in self.node_times(new_mesh)])
+        if verbose:
+            print(f"[mesh-adapt] h in [{np.diff(new_mesh).min():.4f}, "
+                  f"{np.diff(new_mesh).max():.4f}]")
+        return jnp.asarray(new_nodes), jnp.asarray(new_mesh)
 
     # ------------------------------------------------------------------
     def interpolate(self, nodes, mesh, t):

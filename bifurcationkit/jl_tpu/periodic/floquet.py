@@ -41,3 +41,46 @@ def floquet_multipliers(disc, prob_vf, X, po_par):
     Mn = disc.monodromy(prob_vf, X, po_par)
     mult, _ = dense_eig(Mn)
     return np.asarray(mult)
+
+
+@dataclasses.dataclass(frozen=True)
+class FloquetGEV:
+    """Floquet multipliers from the block-bidiagonal periodic pencil
+    A X = mu B X over the per-interval maps (ref FloquetGEV,
+    Floquet.jl:424-531) — avoids the explicit monodromy product, so the
+    accuracy does not degrade with Ntst (ref precision caveat,
+    Floquet.jl:28-31).  Expects `eig_jacobian` to return the (Ntst, n, n)
+    interval maps (periodic_orbit_problem(..., floquet="gev"))."""
+
+    is_floquet: bool = True
+
+    def __call__(self, maps, nev: int):
+        from ..linalg.geig import dense_gev
+
+        Ntst, n, _ = maps.shape
+        N = Ntst * n
+        A = jnp.zeros((N, N), maps.dtype)
+        B = jnp.zeros((N, N), maps.dtype)
+        eye = jnp.eye(n, dtype=maps.dtype)
+        for j in range(Ntst):
+            r = slice(j * n, (j + 1) * n)
+            A = A.at[r, r].set(maps[j])
+            if j < Ntst - 1:
+                A = A.at[r, (j + 1) * n:(j + 2) * n].set(-eye)
+            else:
+                B = B.at[r, 0:n].set(eye)
+        mult, vecs = dense_gev(A, B)
+        # keep the finite multipliers (the pencil has N - n infinite ones)
+        expo = jnp.log(mult.astype(jnp.complex128))
+        order = jnp.lexsort((-expo.imag, -expo.real))
+        expo = expo[order]
+        vecs = vecs[:, order]
+        # infinite multipliers sort to the front with +inf real part: the
+        # detection layer only uses the leading finite ones, so drop them
+        finite = jnp.isfinite(expo.real)
+        expo = jnp.where(finite, expo, -jnp.inf - 0j)
+        order2 = jnp.lexsort((-expo.imag, -expo.real))
+        expo = expo[order2]
+        vecs = vecs[:, order2]
+        nev = min(nev, n)
+        return expo[:nev], vecs[:, :nev], jnp.array(True), jnp.array(1)

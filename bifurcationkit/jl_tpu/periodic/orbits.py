@@ -35,7 +35,8 @@ from .trapezoid import Trapeze
 def periodic_orbit_problem(prob_vf: BifurcationProblem, disc, X0,
                            params=None, uref=None,
                            update_section_every_step: int = 1,
-                           use_cop: bool = False):
+                           use_cop: bool = False,
+                           floquet: str = "qad"):
     """Build the PO BifurcationProblem for any discretization."""
     params = prob_vf.params if params is None else params
     flatvf, unravel_vf = ravel(prob_vf.u0)
@@ -99,10 +100,16 @@ def periodic_orbit_problem(prob_vf: BifurcationProblem, disc, X0,
         X = state.z.u
         new = dict(par)
         if isinstance(disc, Collocation):
-            nodes, _ = disc.split(X, n)
+            nodes, T = disc.split(X, n)
             params_now = par["_inner"]
-            _, phi = disc.phase_data(prob_vf, nodes, params_now,
-                                     par["_mesh"])
+            mesh_now = par["_mesh"]
+            if disc.adapt_mesh:
+                # ref mesh adaptation, PeriodicOrbitCollocation.jl:1235-1400
+                nodes, mesh_now = disc.adapt(nodes, mesh_now)
+                new["_mesh"] = mesh_now
+                state.z = dataclasses.replace(
+                    state.z, u=disc.pack(nodes, T))
+            _, phi = disc.phase_data(prob_vf, nodes, params_now, mesh_now)
             new["_uref"] = nodes
             new["_phi"] = phi
         elif isinstance(disc, Trapeze):
@@ -114,8 +121,15 @@ def periodic_orbit_problem(prob_vf: BifurcationProblem, disc, X0,
             new.update(disc.section_data(prob_vf, X, par["_inner"]))
         return new
 
-    def eig_jacobian(X, par):
-        return disc.monodromy(prob_vf, X, par)
+    if floquet == "gev":
+        if not isinstance(disc, Collocation):
+            raise ValueError("floquet='gev' requires Collocation")
+
+        def eig_jacobian(X, par):
+            return disc.interval_maps(prob_vf, X, par)
+    else:
+        def eig_jacobian(X, par):
+            return disc.monodromy(prob_vf, X, par)
 
     jac = None
     if use_cop:

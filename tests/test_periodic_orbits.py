@@ -136,3 +136,40 @@ def test_po_continuation_stability_detection():
     assert len(br) > 5
     # stable periodic orbit: no unstable Floquet exponent
     assert (br.gamma["n_unstable"] == 0).all()
+
+
+def test_floquet_gev_matches_qad():
+    """FloquetGEV pencil multipliers match the monodromy-product ones
+    (and the analytic {1, exp(-2 r T)})."""
+    prob = sl_problem()
+    disc = bk.Collocation(Ntst=20, m=4)
+    X0 = disc.generate_solution(exact_orbit, PERIOD, 2)
+    sol, po = bk.newton_po(prob, disc, X0,
+                           options=bk.NewtonPar(tol=1e-11,
+                                                max_iterations=20))
+    maps = disc.interval_maps(prob, sol.u, po.params)
+    from bifurcationkit.jl_tpu.periodic import FloquetGEV
+
+    expo, vecs, cv, _ = FloquetGEV()(maps, 2)
+    mult = np.exp(np.asarray(expo))
+    mult = np.sort(np.abs(mult))[::-1]
+    assert mult[0] == pytest.approx(1.0, abs=1e-6)
+    assert mult[1] == pytest.approx(np.exp(-2 * R0 * PERIOD), rel=1e-4)
+
+
+def test_mesh_adaptation_runs():
+    prob = sl_problem()
+    disc = bk.Collocation(Ntst=14, m=3, adapt_mesh=True)
+    X0 = disc.generate_solution(exact_orbit, PERIOD, 2)
+    cp = bk.ContinuationPar(ds=0.02, dsmax=0.06, dsmin=1e-6, p_min=0.2,
+                            p_max=0.9, max_steps=15, detect_bifurcation=0,
+                            detect_fold=False,
+                            newton_options=bk.NewtonPar(tol=1e-8,
+                                                        max_iterations=25))
+    br = bk.continuation_po(prob, disc, X0, cp)
+    assert len(br) > 5
+    # orbit quality preserved under adaptation: radius still sqrt(r)
+    tbl = br.gamma._table()
+    mask = tbl["param"] > 0.3
+    np.testing.assert_allclose(tbl["amplitude"][mask],
+                               2 * np.sqrt(tbl["param"][mask]), rtol=5e-3)
