@@ -46,6 +46,7 @@ from .periodic.codim2 import (continuation_fold_po, continuation_ns,
                               continuation_pd, pd_branch_switch)
 from .periodic.normal_forms import get_normal_form_po, poincare_return_map
 from .periodic.cop import COPLS, collocation_block_jacobian, cop_solve
+from .periodic import FloquetGEV, get_periodic_orbit
 from .ops import BSRMatrix, DIAMatrix, ELLMatrix, dia_spmv
 from .utils import (load_branch, plot_bifurcation_diagram, plot_branch,
                     plot_periodic_orbit, resume_data, save_branch,

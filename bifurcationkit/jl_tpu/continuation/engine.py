@@ -82,7 +82,8 @@ class ContIterable:
         self.kind = kind
         base_alg = alg.alg if isinstance(alg, (AutoSwitch, Multiple)) else alg
         self.base_alg = base_alg
-        self.kernels = make_kernels(prob, base_alg, contparams, norm)
+        self.kernels = make_kernels(prob, base_alg, contparams, norm,
+                                    callback=callback_newton)
         # AutoSwitch dynamic mode: 'natural' | 'palc'
         self._autoswitch_mode = ("natural" if isinstance(alg, AutoSwitch)
                                  else None)
@@ -161,11 +162,12 @@ class ContIterable:
 
         use_natural = isinstance(self.alg, Natural)
         if self._autoswitch_mode is not None:
-            # AutoSwitch: steep branch -> PALC, shallow -> Natural
-            # (ref src/continuation/AutoSwitch.jl:59-74)
-            steep = (1.0 - self.kernels.theta) * abs(tau_p) > \
-                getattr(self.alg, "tol_param", 0.5)
-            use_natural = not steep
+            # AutoSwitch: shallow branch (param-dominated tangent) -> Natural,
+            # steep (fold-approaching, |tau_p| small) -> PALC
+            # (ref corrector! dispatch, src/continuation/AutoSwitch.jl:58-74)
+            use_natural = ((1.0 - self.kernels.theta) * abs(tau_p)
+                           > getattr(self.alg, "tol_param", 0.5)
+                           and not state.in_bisection)
             self._autoswitch_mode = "natural" if use_natural else "palc"
 
         if use_natural:

@@ -44,7 +44,8 @@ def _pick_jac(prob, linsolver):
 
 
 def make_kernels(prob, alg, contparams: ContinuationPar,
-                 norm: Callable = tree_norm, dot_theta: DotTheta = None):
+                 norm: Callable = tree_norm, dot_theta: DotTheta = None,
+                 callback: Callable = None):
     """Build the jitted kernels for one (problem, algorithm, options) triple."""
     nopts = contparams.newton_options
     theta = float(getattr(alg, "theta", 0.5))
@@ -72,19 +73,27 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
         res0 = norm(res_f0)
 
         def cond(c):
-            x, rf, r, k, itl = c
-            return jnp.logical_and(r > nopts.tol, k < nopts.max_iterations)
+            x, rf, r, k, itl, keep = c
+            return jnp.logical_and(
+                jnp.logical_and(r > nopts.tol, k < nopts.max_iterations),
+                keep)
 
         def body(c):
-            x, rf, r, k, itl = c
+            x, rf, r, k, itl, keep = c
             J = jac(x, par)
             du, cv, itlin = ls(J, rf)
             x = tree_sub(x, du)
             rf = prob.residual(x, par)
-            return x, rf, norm(rf), k + 1, itl + itlin
+            r = norm(rf)
+            if callback is not None:
+                keep = callback({"x": x, "residual": rf,
+                                 "residual_norm": r, "p": p,
+                                 "step": k + 1})
+            return x, rf, r, k + 1, itl + itlin, keep
 
-        x, rf, r, k, itl = jax.lax.while_loop(
-            cond, body, (u, res_f0, res0, jnp.array(0), jnp.array(0)))
+        x, rf, r, k, itl, _ = jax.lax.while_loop(
+            cond, body, (u, res_f0, res0, jnp.array(0), jnp.array(0),
+                         jnp.array(True)))
         return x, r <= nopts.tol, k, itl, r
 
     # ------------------------------------------------------------------
@@ -122,6 +131,9 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
             u = tree_sub(u, du)
             p = jnp.clip(p - dp, p_min, p_max)
             rf, rn, r = full_res(u, p)
+            if callback is not None:
+                ok = callback({"x": u, "residual": rf, "residual_norm": r,
+                               "p": p, "step": k + 1})
             return u, p, rf, rn, r, k + 1, itl + itlin, ok
 
         u, p, rf, rn, r, k, itl, _ = jax.lax.while_loop(

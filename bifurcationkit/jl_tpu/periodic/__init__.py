@@ -10,3 +10,4 @@ from .codim2 import (continuation_fold_po, continuation_ns, continuation_pd,
 from .normal_forms import get_normal_form_po, poincare_return_map
 from .cop import COPLS, COPBlocks, collocation_block_jacobian, cop_solve
 from .floquet import FloquetGEV
+from .orbits import get_periodic_orbit

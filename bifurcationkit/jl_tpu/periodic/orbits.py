@@ -207,6 +207,14 @@ def continuation_hopf_po(br, ind_hopf: int, contparams: ContinuationPar,
     return Branch(gamma=gamma, bp=hp)
 
 
+def get_periodic_orbit(br_po, idx: int = -1):
+    """Reference-named accessor (ref get_periodic_orbit): returns a dict
+    with the orbit samples, times, period and parameter."""
+    traj, T, p = orbit_from_branch(br_po, idx)
+    ts = np.linspace(0.0, T, traj.shape[0])
+    return {"t": ts, "u": traj, "period": T, "p": p}
+
+
 def orbit_from_branch(br_po, idx: int = -1):
     """Extract (trajectory (npts, n), period, param) from a saved solution."""
     gamma = br_po.gamma if isinstance(br_po, Branch) else br_po

@@ -27,6 +27,13 @@ class Trapeze:
     """Discretization config (ref `Trapeze`, PeriodicOrbitTrapeze.jl:70)."""
 
     M: int = 50
+    time_mesh: Any = None   # optional (M-1,) step fractions, sum = 1
+                            # (ref TimeMesh, src/TimeMesh.jl:9)
+
+    def steps(self):
+        if self.time_mesh is not None:
+            return jnp.asarray(self.time_mesh)
+        return jnp.full((self.M - 1,), 1.0 / (self.M - 1))
 
     def unknown_size(self, n: int) -> int:
         return self.M * n + 1
@@ -48,10 +55,10 @@ class Trapeze:
         params = po_par["_inner"]
         n = po_par["_uref"].shape[1]
         u, T = self.split(X, n)
-        h = 1.0 / (M - 1)
+        h = self.steps()[:, None]
 
         Fu = jax.vmap(lambda x: prob_vf.F(x, params))(u)
-        # trapezoid rows for i = 1..M-1
+        # trapezoid rows for i = 1..M-1 (non-uniform mesh supported)
         rows = (u[1:] - u[:-1]) - (T * h / 2.0) * (Fu[1:] + Fu[:-1])
         # periodicity row
         per = u[0] - u[M - 1]
@@ -68,7 +75,7 @@ class Trapeze:
         params = po_par["_inner"]
         n = po_par["_uref"].shape[1]
         u, T = self.split(X, n)
-        h = 1.0 / (M - 1)
+        h = self.steps()[:, None, None]
 
         Js = jax.vmap(lambda x: prob_vf.jacobian(x, params))(u)  # (M, n, n)
         eye = jnp.eye(n, dtype=Js.dtype)

@@ -154,3 +154,51 @@ def test_event_detection():
     assert len(pts) == 2
     assert abs(pts[0].param - (-0.25)) < 0.05
     assert abs(pts[1].param - 0.25) < 0.05
+
+
+def test_autoswitch():
+    # steep fold-containing branch: AutoSwitch must engage PALC and turn
+    def F(u, par):
+        return u ** 3 - u - par["p"]
+
+    prob = bk.BifurcationProblem(F, u0=jnp.array([-1.1]),
+                                 params={"p": -0.3}, lens="p")
+    br = bk.continuation(prob, bk.AutoSwitch(tol_param=0.5),
+                         _cp(detect_bifurcation=0))
+    folds = br.get_special_points("fold")
+    assert len(folds) >= 1
+
+
+def test_manual_iteration_api():
+    """The iterator protocol is public (the checkpointing surface —
+    ref iterate_from_two_points, src/Continuation.jl:408)."""
+    prob = models.pitchfork_1d(p=-0.5)
+    it = bk.ContIterable(prob, bk.PALC(), _cp(detect_bifurcation=0))
+    state = it.init_state()
+    ps = [state.p]
+    for _ in range(10):
+        it.iterate(state)
+        assert state.converged
+        ps.append(state.p)
+    assert ps[-1] > ps[0]
+    # resume from the same state object: continue further
+    for _ in range(5):
+        it.iterate(state)
+    assert state.p > ps[-1]
+
+
+def test_newton_callback_in_palc():
+    # a callback that always rejects is threaded into every corrector:
+    # the very first Newton solve must already fail
+    def reject(d, **k):
+        return jnp.array(False)
+
+    def F(u, par):
+        return u ** 3 - u - par["p"]
+
+    prob = bk.BifurcationProblem(F, u0=jnp.array([-1.1]),
+                                 params={"p": -0.3}, lens="p")
+    it = bk.ContIterable(prob, bk.PALC(), _cp(detect_bifurcation=0),
+                         callback_newton=reject)
+    with pytest.raises(RuntimeError, match="Newton failed"):
+        it.init_state()
