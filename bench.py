@@ -55,11 +55,16 @@ def bench_device(device, dtype=jnp.float32):
         v = jax.random.normal(jax.random.PRNGKey(1), (N, N), dtype)
         out = jv(u, v)
         jax.block_until_ready(out)  # warmup/compile
-        t0 = time.perf_counter()
-        for _ in range(REPS):
-            v = jv(u, v)
-        jax.block_until_ready(v)
-        dt = (time.perf_counter() - t0) / REPS
+        # best-of-3 trials: the tunnel/chip is shared, single-trial numbers
+        # are noisy by ~40%
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(REPS):
+                v = jv(u, v)
+            jax.block_until_ready(v)
+            best = min(best, (time.perf_counter() - t0) / REPS)
+        dt = best
     nnz = N * N * NNZ_PER_ROW
     return nnz / dt
 
