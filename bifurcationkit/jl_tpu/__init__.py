@@ -43,7 +43,8 @@ from .periodic import (Collocation, Flow, FloquetEig, PoincareShooting,
                        continuation_po, newton_po, orbit_from_branch,
                        periodic_orbit_problem)
 from .periodic.codim2 import (continuation_fold_po, continuation_ns,
-                              continuation_pd, pd_branch_switch)
+                              continuation_pd, pd_branch_switch,
+                              po_codim2_test_values)
 from .periodic.normal_forms import get_normal_form_po, poincare_return_map
 from .periodic.cop import COPLS, collocation_block_jacobian, cop_solve
 from .periodic import FloquetGEV, get_periodic_orbit
@@ -52,8 +53,8 @@ from .utils import (load_branch, plot_bifurcation_diagram, plot_branch,
                     plot_periodic_orbit, resume_data, save_branch,
                     save_every_step, savefig)
 from .wave import travelling_wave_problem
-from .bvp import (BVPCollocation, BVPModel, BVPShooting, bvp_problem,
-                  discretize)
+from .bvp import (BVPCollocation, BVPModel, BVPShooting, BVPTrapezoid,
+                  bvp_problem, discretize)
 from .normal_forms import (BifDiagNode, bifurcationdiagram,
                            continuation_from_bp, get_normal_form,
                            hopf_normal_form, multicontinuation, predictor)

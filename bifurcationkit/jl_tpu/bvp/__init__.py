@@ -1,2 +1,2 @@
-from .bvp import (BVPCollocation, BVPModel, BVPShooting, bvp_problem,
-                  discretize)
+from .bvp import (BVPCollocation, BVPModel, BVPShooting, BVPTrapezoid,
+                  bvp_problem, discretize)

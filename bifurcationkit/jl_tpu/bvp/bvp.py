@@ -89,6 +89,31 @@ class BVPCollocation:
 
 
 @dataclasses.dataclass(frozen=True)
+class BVPTrapezoid:
+    """Trapezoid-rule BVP discretizer (ref src/bvp trapeze path)."""
+
+    M: int = 50
+
+    def unknown_size(self, n):
+        return self.M * n
+
+    def residual(self, model: BVPModel, X, params, n: int):
+        u = X.reshape(self.M, n)
+        h = 1.0 / (self.M - 1)
+        Fu = jax.vmap(lambda x: model.F(x, params))(u)
+        rows = (u[1:] - u[:-1]) - (h / 2.0) * (Fu[1:] + Fu[:-1])
+        bc = model.g(u[0], u[-1], params)
+        return jnp.concatenate([rows.ravel(), jnp.atleast_1d(bc)])
+
+    def initial_guess(self, profile: Callable, n: int):
+        ts = np.linspace(0, 1, self.M)
+        return jnp.stack([jnp.asarray(profile(t)) for t in ts]).ravel()
+
+    def times(self):
+        return np.linspace(0, 1, self.M)
+
+
+@dataclasses.dataclass(frozen=True)
 class BVPShooting:
     M: int = 4
     steps_per_segment: int = 60

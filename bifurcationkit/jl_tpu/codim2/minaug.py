@@ -300,7 +300,21 @@ def _fold_codim2_event(maprob):
         cp = float(state.tau.p)
         return (bt, cp)
 
-    return ContinuousEvent(nb=2, condition=cond, labels=["bt", "cusp"])
+    cont = ContinuousEvent(nb=2, condition=cond, labels=["bt", "cusp"])
+
+    def zh_cond(it, state):
+        """ZH: count of eigenvalues beyond the fold eigenvalue with nonzero
+        imaginary part (ref test_zh, MinAugFold.jl:539-549)."""
+        if state.eigvals is None:
+            return (0,)
+        eps = it.contparams.tol_stability
+        rho = np.min(np.abs(state.eigvals.real))
+        cnt = int(np.sum((state.eigvals.real > rho)
+                         & (state.eigvals.imag > eps)))
+        return (cnt,)
+
+    disc = DiscreteEvent(nb=1, condition=zh_cond, labels=["zh"])
+    return PairOfEvents(cont, disc)
 
 
 def _hopf_codim2_event(maprob, with_gh: bool = True):

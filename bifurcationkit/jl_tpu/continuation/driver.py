@@ -91,7 +91,7 @@ def _continuation_loop(it: ContIterable, x0=None, params=None) -> ContResult:
             if it.event is not None and cp.detect_event > 0 and \
                     state.step > 0:
                 update_event(it, state)
-                if _event_crossed(state):
+                if _event_crossed(state, it.event):
                     sp_ev = locate_event(it, state, res)
                     if sp_ev is not None:
                         res.specialpoint.append(sp_ev)
@@ -129,12 +129,16 @@ def _continuation_loop(it: ContIterable, x0=None, params=None) -> ContResult:
     return res
 
 
-def _event_crossed(state) -> bool:
+def _event_crossed(state, event=None) -> bool:
     if state.event_values is None:
         return False
-    cur, prev = state.event_values
-    return any(np.sign(a) * np.sign(b) < 0 for a, b in zip(
-        np.atleast_1d(cur), np.atleast_1d(prev)))
+    from ..detection.events import _crossing_indices
+
+    is_cont = getattr(event, "is_continuous", True) if event is not None \
+        else True
+    ncont = getattr(event, "n_continuous", None) if event is not None \
+        else None
+    return bool(_crossing_indices(state, is_cont, ncont))
 
 
 def _detect_loop(res: ContResult, tol: float = 1e-6) -> bool:

@@ -61,6 +61,16 @@ class PairOfEvents:
     def is_continuous(self):
         return False
 
+    @property
+    def labels(self):
+        lc = self.eventC.labels or ["userC"] * self.eventC.nb
+        ld = self.eventD.labels or ["userD"] * self.eventD.nb
+        return list(lc) + list(ld)
+
+    @property
+    def n_continuous(self):
+        return self.eventC.nb
+
     def condition(self, it, state):
         c = np.atleast_1d(np.asarray(self.eventC.condition(it, state),
                                      dtype=float))
@@ -137,12 +147,18 @@ def update_event(it, state):
     state.event_values = (vals, prev)
 
 
-def _crossing_indices(state, is_continuous: bool):
+def _crossing_indices(state, is_continuous: bool, n_continuous=None):
     cur, prev = state.event_values
-    if is_continuous:
-        return [i for i in range(len(cur))
-                if np.sign(cur[i]) * np.sign(prev[i]) < 0]
-    return [i for i in range(len(cur)) if cur[i] != prev[i]]
+    out = []
+    for i in range(len(cur)):
+        cont = is_continuous or (n_continuous is not None
+                                 and i < n_continuous)
+        if cont:
+            if np.sign(cur[i]) * np.sign(prev[i]) < 0:
+                out.append(i)
+        elif cur[i] != prev[i]:
+            out.append(i)
+    return out
 
 
 def locate_event(it, state, res, verbose: bool = False):
@@ -150,7 +166,8 @@ def locate_event(it, state, res, verbose: bool = False):
     bisection (ref locate_event!, src/events/EventDetection.jl:28)."""
     cp = it.contparams
     event = it.event
-    idxs = _crossing_indices(state, getattr(event, "is_continuous", True))
+    idxs = _crossing_indices(state, getattr(event, "is_continuous", True),
+                             getattr(event, "n_continuous", None))
     if not idxs:
         return None
 
@@ -180,7 +197,8 @@ def _bisect_event(it, state, verbose: bool = False):
     (ref locate_event!, src/events/EventDetection.jl:28).  Leaves `state` at
     the iterate closest to the crossing."""
     cp = it.contparams
-    idxs = _crossing_indices(state, getattr(it.event, "is_continuous", True))
+    idxs = _crossing_indices(state, getattr(it.event, "is_continuous", True),
+                             getattr(it.event, "n_continuous", None))
     if not idxs:
         return
     comp = idxs[0]

@@ -193,6 +193,47 @@ def _continuation_po_codim2(br_po, ind_bif, lens2, contparams, kind,
     return Branch(gamma=gamma2, bp=gamma.specialpoint[ind_bif])
 
 
+def po_codim2_test_values(br_pd_or_ns, idx: int = -1):
+    """Codim-3 test quantities along a PO codim-2 curve (ref codim-3 tests,
+    MinAugPD.jl:392, MinAugNS.jl:415): for a saved point, return the
+    monodromy multipliers plus the resonance phases — R1..R4 occur where
+    theta hits 2pi/k on an NS curve; fold-flip / fold-NS where a second
+    multiplier crosses +1."""
+    gamma = br_pd_or_ns.gamma if isinstance(br_pd_or_ns, Branch) \
+        else br_pd_or_ns
+    po_prob = gamma.prob.inner_prob
+    disc = po_prob.disc
+    prob_vf = po_prob.prob_vf
+    n = po_prob.n_vf
+    sol = gamma.sol[idx]
+    Y = np.asarray(sol["x"])
+    nX = int(np.asarray(po_prob.u0).shape[0])
+    X = jnp.asarray(Y[:nX])
+    p1 = float(Y[nX])
+    p2 = float(sol["p"])
+    # rebuild the PO params at this curve point: p1 through the vf lens,
+    # p2 through the MA curve's own lens2 optic
+    maprob = gamma.prob
+    par_dict = {k: v for k, v in maprob.params.items()
+                if k not in ("_a", "_b")}
+    from ..core.lens import as_lens
+
+    vf_lens = as_lens(prob_vf.lens)
+    par_dict["_inner"] = vf_lens.set(par_dict["_inner"], p1)
+    par_dict = {**par_dict,
+                "_inner": maprob.lens.set(
+                    {"_inner": par_dict["_inner"]}, p2)["_inner"]}
+    par = par_dict
+    M = disc.monodromy(prob_vf, X, par)
+    mult = np.asarray(dense_eig(M)[0])
+    thetas = np.angle(mult)
+    return {"multipliers": mult, "theta": thetas,
+            "R1": float(np.min(np.abs(mult - 1.0))),
+            "R2": float(np.min(np.abs(mult + 1.0))),
+            "R3": float(np.min(np.abs(mult - np.exp(2j * np.pi / 3)))),
+            "R4": float(np.min(np.abs(mult - 1j)))}
+
+
 def continuation_pd(br_po, ind_bif, lens2, contparams, **kwargs) -> Branch:
     """Continue a period-doubling point of a PO in two parameters
     (ref continuation_pd, MinAugPD.jl:307)."""

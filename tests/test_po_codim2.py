@@ -109,3 +109,20 @@ def test_po_normal_form_pd(lure_po_branch):
     # finite, nonzero flip coefficient
     assert np.isfinite(pt.nf["c"]) and abs(pt.nf["c"]) > 1e-8
     assert pt.subtype in ("SuperCritical", "SubCritical")
+
+
+def test_po_codim2_resonance_values(lure_po_branch):
+    prob, br, br_po = lure_po_branch
+    pds = br_po.gamma.get_special_points("pd")
+    idx = br_po.gamma.specialpoint.index(pds[0])
+    cp2 = bk.ContinuationPar(ds=0.02, dsmax=0.05, dsmin=1e-6, p_min=0.8,
+                             p_max=1.4, max_steps=6, detect_bifurcation=0,
+                             detect_fold=False,
+                             newton_options=bk.NewtonPar(tol=1e-7,
+                                                         max_iterations=15))
+    br_pd = bk.continuation_pd(br_po, idx, "beta", cp2)
+    vals = bk.po_codim2_test_values(br_pd, -1)
+    # on a PD curve the R2 quantity (distance of a multiplier to -1) is ~ 0
+    assert vals["R2"] < 1e-6
+    # and the trivial multiplier keeps R1 small
+    assert vals["R1"] < 1e-4

@@ -123,3 +123,19 @@ def test_travelling_wave_freezing():
     u = np.asarray(sol.u[:-1])
     assert u[0] == pytest.approx(0.0, abs=1e-2)
     assert u[-1] == pytest.approx(1.0, abs=1e-2)
+
+
+def test_bratu_trapezoid_discretizer():
+    model = bratu_model()
+    disc = bk.BVPTrapezoid(M=60)
+    X0 = bk.discretize(model, disc,
+                       lambda t: np.array([0.3 * t * (1 - t),
+                                           0.3 * (1 - 2 * t)]), 2)
+    prob = bk.bvp_problem(model, disc, X0, {"lam": 1.0}, "lam", n=2)
+    sol = bk.newton(prob, bk.NewtonPar(tol=1e-10))
+    assert bool(sol.converged)
+    # analytic Bratu midpoint at lam=1: u(1/2) = 2 ln cosh(theta/4) with
+    # theta = sqrt(2 lam) cosh(theta/4)  =>  u(1/2) ~ 0.14050
+    u = np.asarray(sol.u).reshape(-1, 2)
+    mid = np.interp(0.5, disc.times(), u[:, 0])
+    assert mid == pytest.approx(0.14050, abs=2e-3)
