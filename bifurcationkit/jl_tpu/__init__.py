@@ -37,7 +37,8 @@ from .detection import (ContinuousEvent, DiscreteEvent, PairOfEvents,
                         fold_detect_event, save_at_event)
 from .codim2 import (bt_normal_form, bt_predictors, continuation_fold,
                      continuation_hopf, cusp_normal_form,
-                     get_normal_form_codim2, newton_fold, newton_hopf)
+                     get_normal_form_codim2, newton_bt, newton_fold,
+                     newton_hopf)
 from .periodic import (Collocation, Flow, FloquetEig, PoincareShooting,
                        Shooting, Trapeze, continuation_hopf_po,
                        continuation_po, newton_po, orbit_from_branch,

@@ -43,7 +43,6 @@ def _bt_basis(J):
     # bi-orthonormalization (Kuznetsov 8.4):
     # scale so <p1, q0> != 0 ... we need <q0,p0>=<q1,p1>=1, <q0,p1>=<q1,p0>=0
     # first normalize p1 against q1 and p0 against q0
-    q1 = q1 - np.dot(q0, q1) / np.dot(q0, q0) * q0 * 0  # keep chain relation
     s = np.dot(p1, q1)
     if abs(s) < 1e-12:
         raise RuntimeError("BT basis: <p1, q1> ~ 0; point is not a clean BT")
@@ -140,6 +139,67 @@ def cusp_normal_form(prob, x0, params, verbose: bool = False):
     if verbose:
         print(f"Cusp normal form: c = {c:.6g} (b20 = {b20:.3g})")
     return pt
+
+
+def newton_bt(br_codim2, ind_bif: int, lens2=None, options=None,
+              verbose: bool = False):
+    """Newton refinement of a Bogdanov-Takens point in (x, p1, p2)
+    (ref newton_bt, src/codim2/MinAugBT.jl:277-440).
+
+    Augmented system G(x, p1, p2) = (F, sigma, <w, v>) where sigma is the
+    fold minimally-augmented test and <w, v> the BT test (both from
+    differentiable bordered solves), solved with AD Newton."""
+    from ..codim2.minaug import _adjoint_border_solve, _border_solve
+    from ..core.params import NewtonPar
+    from ..newton import newton as _newton
+    from ..core.problem import BifurcationProblem
+
+    gamma = getattr(br_codim2, "gamma", br_codim2)
+    sp = gamma.specialpoint[ind_bif]
+    maprob = gamma.prob
+    inner = maprob.inner_prob
+    n = maprob.n_inner
+    unravel = maprob.unravel_inner
+    inner_lens = maprob.inner_lens
+    lens2_optic = maprob.lens         # optic over the MA param dict
+
+    Xsp = jnp.asarray(sp.x)
+    x0, p1_0 = Xsp[:n], float(Xsp[n])
+    p2_0 = sp.param
+    base_inner = gamma.prob.params["_inner"]
+
+    # anchor borders at the starting point
+    par0 = inner_lens.set(base_inner, p1_0)
+    par0 = lens2_optic.set({"_inner": par0}, p2_0)["_inner"]
+    J0 = inner.jacobian(unravel(x0), par0)
+    q0, q1, p0v, p1v = _bt_basis(J0)
+    a = jnp.asarray(p1v) / jnp.linalg.norm(p1v)
+    b = jnp.asarray(q0) / jnp.linalg.norm(q0)
+
+    def G(Y, par):
+        x, pp1, pp2 = Y[:n], Y[n], Y[n + 1]
+        params = inner_lens.set(par["_inner"], pp1)
+        params = lens2_optic.set({"_inner": params}, pp2)["_inner"]
+        from ..core.state import ravel as _ravel
+
+        F = _ravel(inner.F(unravel(x), params))[0]
+        J = inner.jacobian(unravel(x), params)
+        v, sigma = _border_solve(J, par["_a"], par["_b"])
+        w, _ = _adjoint_border_solve(J, par["_a"], par["_b"])
+        v = v / jnp.linalg.norm(v)
+        w = w / jnp.linalg.norm(w)
+        bt = jnp.real(jnp.vdot(w, v))
+        return jnp.concatenate([F, jnp.real(sigma)[None], bt[None]])
+
+    prob_bt = BifurcationProblem(
+        G, u0=jnp.concatenate([x0, jnp.asarray([p1_0, p2_0])]),
+        params={"_inner": base_inner, "_a": a, "_b": b}, lens=None)
+    options = options or NewtonPar(tol=1e-10, max_iterations=30)
+    sol = _newton(prob_bt, options)
+    if verbose:
+        print(f"newton_bt: converged={bool(sol.converged)} "
+              f"(p1, p2) = ({float(sol.u[n]):.8g}, {float(sol.u[n+1]):.8g})")
+    return sol
 
 
 def get_normal_form_codim2(br_codim2, ind_bif: int, verbose: bool = False):

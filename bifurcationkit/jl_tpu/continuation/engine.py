@@ -208,6 +208,35 @@ class ContIterable:
                     break
             if not accepted:
                 cv = jnp.asarray(False)
+        elif self._can_fuse(state):
+            # single-dispatch fused step (predictor+corrector+tangent+eig)
+            (z_new, tau_new, cv, itn, itl, res, vals, vecs,
+             cv_eig) = self.kernels.palc_full_step(
+                state.z, state.tau, jnp.asarray(ds), self._params())
+            state.converged = bool(cv)
+            state.itnewton = int(itn)
+            state.itlinear = int(itl)
+            state.res = float(res)
+            if state.converged:
+                state.z_old = state.z
+                state.z = z_new
+                state.tau = tau_new
+                self._poly_push(state)
+                if cp.compute_eigenelements:
+                    vals_np = np.asarray(vals)
+                    tol = cp.tol_stability
+                    state.eigvals = vals_np
+                    state.eigvecs = vecs
+                    state.converged_eig = bool(cv_eig)
+                    state.n_unstable = (int(np.sum(vals_np.real > tol)),
+                                        state.n_unstable[0])
+                    state.n_imag = (int(np.sum(
+                        (np.abs(vals_np.imag) > tol)
+                        & (vals_np.real > tol))), state.n_imag[0])
+            if state.stepsizecontrol:
+                self.step_size_control(state)
+            state.step += 1
+            return state
         else:
             z_pred = self._palc_predictor(state, ds)
             z_new, cv, itn, itl, res = self.kernels.palc_corrector(
@@ -228,6 +257,11 @@ class ContIterable:
         self.update_predictor(state)
         state.step += 1
         return state
+
+    def _can_fuse(self, state) -> bool:
+        """Fused single-dispatch step applies for plain PALC + Secant."""
+        return (isinstance(self.alg, PALC)
+                and isinstance(getattr(self.alg, "tangent", None), Secant))
 
     # ------------------------------------------------------------------
     # predictors

@@ -247,8 +247,33 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
             vecs = None
         return vals, vecs, cv
 
+    # ------------------------------------------------------------------
+    # fused full PALC step: predictor + corrector + secant tangent + eig in
+    # ONE dispatch (per-call latency over the TPU tunnel dominates the host
+    # loop otherwise)
+    # ------------------------------------------------------------------
+    compute_eig_in_step = contparams.compute_eigenelements
+
+    @jax.jit
+    def palc_full_step(z: BorderedState, tau: BorderedState, ds, params):
+        z_pred = BorderedState(u=tree_axpy(ds, tau.u, z.u),
+                               p=z.p + ds * tau.p)
+        z_new, cv, itn, itl, res = palc_corrector(z_pred, z, tau, ds, params)
+        z_acc = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(cv, a, b), z_new, z)
+        tau_new = secant_tangent(z_acc, z, ds)
+        tau_acc = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(cv, a, b), tau_new, tau)
+        if compute_eig_in_step:
+            vals, vecs, cv_eig = eig_kernel(z_acc.u, z_acc.p, params)
+        else:
+            vals, vecs, cv_eig = (jnp.zeros((0,), jnp.complex64), None,
+                                  jnp.array(True))
+        return z_acc, tau_acc, cv, itn, itl, res, vals, vecs, cv_eig
+
     return SimpleNamespace(
         newton_fixed=newton_fixed,
+        palc_full_step=palc_full_step,
         palc_corrector=palc_corrector,
         mp_corrector=mp_corrector,
         secant_tangent=secant_tangent,

@@ -179,3 +179,23 @@ def test_codim2_nf_from_curve():
     pt = bk.get_normal_form_codim2(brf, i)
     assert pt.nf["a"] == pytest.approx(1.0, abs=1e-2)
     assert pt.nf["b"] == pytest.approx(-1.0, abs=5e-2)
+
+
+def test_newton_bt_refine():
+    """BT refinement: the bt_model has its BT exactly at (b1, b2) = (0, 0)."""
+    prob = bt_model(b1=0.5, b2=2.0)
+    cp1 = _cp(ds=0.01, dsmax=0.05, p_min=0.2, p_max=1.5, max_steps=150,
+              detect_bifurcation=2, detect_fold=True, nev=2)
+    br = bk.continuation(prob, bk.PALC(), cp1)
+    pts = [sp for sp in br.specialpoint if sp.type in ("fold", "bp")]
+    idx = br.specialpoint.index(pts[0])
+    cp2 = _cp(ds=-0.02, dsmax=0.05, p_min=-2.5, p_max=2.5, max_steps=250,
+              detect_bifurcation=0, detect_fold=False)
+    brf = bk.continuation_fold(br, idx, "b2", cp2,
+                               detect_codim2_bifurcation=2)
+    bts = [sp for sp in brf.specialpoint if sp.type == "bt"]
+    i = brf.gamma.specialpoint.index(bts[0])
+    sol = bk.newton_bt(brf, i)
+    assert bool(sol.converged)
+    p1, p2 = float(sol.u[-2]), float(sol.u[-1])
+    assert abs(p1) < 1e-7 and abs(p2) < 1e-7
