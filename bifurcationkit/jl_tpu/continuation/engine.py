@@ -49,16 +49,29 @@ class ContState:
     in_bisection: bool = False
     event_values: Optional[tuple] = None     # (current, previous)
 
+    _p_cache: Any = None
+    _p_old_cache: Any = None
+
     def copy(self) -> "ContState":
         return dataclasses.replace(self)
 
+    # the scalar parameter is read many times per host-loop iteration; each
+    # float() is a device->host transfer (a full RTT on a tunneled TPU), so
+    # cache per z-object identity
     @property
     def p(self) -> float:
-        return float(self.z.p)
+        zid = id(self.z)
+        if self._p_cache is None or self._p_cache[0] != zid:
+            object.__setattr__(self, "_p_cache", (zid, float(self.z.p)))
+        return self._p_cache[1]
 
     @property
     def p_old(self) -> float:
-        return float(self.z_old.p)
+        zid = id(self.z_old)
+        if self._p_old_cache is None or self._p_old_cache[0] != zid:
+            object.__setattr__(self, "_p_old_cache",
+                               (zid, float(self.z_old.p)))
+        return self._p_old_cache[1]
 
 
 class ContIterable:
@@ -213,6 +226,9 @@ class ContIterable:
             (z_new, tau_new, cv, itn, itl, res, vals, vecs,
              cv_eig) = self.kernels.palc_full_step(
                 state.z, state.tau, jnp.asarray(ds), self._params())
+            # one batched device->host transfer for all step scalars
+            cv, itn, itl, res, vals_h, cv_eig, p_new = jax.device_get(
+                (cv, itn, itl, res, vals, cv_eig, z_new.p))
             state.converged = bool(cv)
             state.itnewton = int(itn)
             state.itlinear = int(itl)
@@ -220,10 +236,13 @@ class ContIterable:
             if state.converged:
                 state.z_old = state.z
                 state.z = z_new
+                object.__setattr__(state, "_p_old_cache", state._p_cache)
+                object.__setattr__(state, "_p_cache",
+                                   (id(z_new), float(p_new)))
                 state.tau = tau_new
                 self._poly_push(state)
                 if cp.compute_eigenelements:
-                    vals_np = np.asarray(vals)
+                    vals_np = np.asarray(vals_h)
                     tol = cp.tol_stability
                     state.eigvals = vals_np
                     state.eigvecs = vecs
@@ -352,8 +371,9 @@ class ContIterable:
         par = self.prob.set_lens_param(self._params(), state.z.p)
         rec = self.prob.record_from_solution(state.z.u, state.p)
         if not isinstance(rec, dict):
-            rec = {"record": np.asarray(jax.device_get(rec))}
-        rec = {k: np.asarray(jax.device_get(v)) for k, v in rec.items()}
+            rec = {"record": rec}
+        rec = {k: np.asarray(v)
+               for k, v in jax.device_get(rec).items()}
         rec.update({
             "param": state.p,
             "itnewton": state.itnewton,

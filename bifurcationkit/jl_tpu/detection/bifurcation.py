@@ -177,9 +177,16 @@ def locate_bifurcation(it, _state, verbose: bool = False):
                 iv = list(interval)
                 iv[indinterval] = state.p
                 interval = tuple(iv)
-            if state.eigvals is not None:
-                rightmost_re = np.max(state.eigvals.real) \
-                    if len(state.eigvals) else np.inf
+            if state.eigvals is not None and len(state.eigvals):
+                vals = state.eigvals
+                if getattr(it.kernels, "is_floquet", False):
+                    # exclude the trivial Floquet exponent (log of the unit
+                    # multiplier, ~0 for any well-converged orbit) — it is
+                    # not the bifurcating eigenvalue and would trigger the
+                    # located-early exit spuriously
+                    itriv = int(np.argmin(np.abs(vals)))
+                    vals = np.delete(vals, itriv)
+                rightmost_re = np.max(vals.real) if len(vals) else np.inf
                 biflocated = abs(rightmost_re) < cp.tol_bisection_eigenvalue
 
             if not (abs(state.ds) >= cp.dsmin_bisection
