@@ -38,7 +38,7 @@ from .detection import (ContinuousEvent, DiscreteEvent, PairOfEvents,
 from .codim2 import (bt_normal_form, bt_predictors, continuation_fold,
                      continuation_hopf, cusp_normal_form,
                      get_normal_form_codim2, newton_bt, newton_fold,
-                     newton_hopf)
+                     newton_hopf, refine_gh)
 from .periodic import (Collocation, Flow, FloquetEig, PoincareShooting,
                        Shooting, Trapeze, continuation_hopf_po,
                        continuation_po, newton_po, orbit_from_branch,
@@ -56,6 +56,7 @@ from .utils import (load_branch, plot_bifurcation_diagram, plot_branch,
 from .wave import travelling_wave_problem
 from .bvp import (BVPCollocation, BVPModel, BVPShooting, BVPTrapezoid,
                   bvp_problem, discretize)
+from .normal_forms.bautin import bautin_normal_form
 from .normal_forms import (BifDiagNode, bifurcationdiagram,
                            continuation_from_bp, get_normal_form,
                            hopf_normal_form, multicontinuation, predictor)

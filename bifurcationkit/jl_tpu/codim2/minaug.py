@@ -204,6 +204,13 @@ def _make_minaug_update(prob, inner_lens, n, unravel, is_hopf: bool,
         new = dict(par)
         new["_b"] = v.astype(par["_b"].dtype)
         new["_a"] = w.astype(par["_a"].dtype)
+        if is_hopf and float(X[n + 1]) < 0:
+            # pin omega > 0: (x, p1, -omega) is the conjugate solution; flip
+            # it back so the BT test (omega -> 0) only fires at genuine BTs
+            Xf = X.at[n + 1].set(-X[n + 1])
+            state.z = dataclasses.replace(state.z, u=Xf)
+            new["_a"] = jnp.conj(new["_a"])
+            new["_b"] = jnp.conj(new["_b"])
         return new
 
     return update
@@ -319,18 +326,83 @@ def _fold_codim2_event(maprob):
 
 def _hopf_codim2_event(maprob, with_gh: bool = True):
     n = maprob.n_inner
+    l1_fn = _make_l1_kernel(maprob) if with_gh else None
 
     def cond(it, state):
         X = ravel(state.z.u)[0]
         omega = float(X[n + 1])
         vals = [omega]
         if with_gh:
-            vals.append(_hopf_l1(maprob, it, state))
+            par = it.current_params
+            vals.append(float(l1_fn(X, par["_inner"])))
         return tuple(vals)
 
     labels = ["bt"] + (["gh"] if with_gh else [])
     return ContinuousEvent(nb=1 + int(with_gh), condition=cond,
                            labels=labels)
+
+
+def _make_l1_kernel(maprob):
+    """One jitted first-Lyapunov evaluation along the Hopf MA curve
+    (the per-step GH test; unjitted AD chains are ~100x slower)."""
+    import jax as _jax
+
+    inner = maprob.inner_prob
+    inner_lens = maprob.inner_lens
+    n = maprob.n_inner
+    unravel = maprob.unravel_inner
+
+    @_jax.jit
+    def l1_fn(X, par_inner):
+        x = X[:n]
+        p1 = X[n]
+        omega = X[n + 1]
+        params = inner_lens.set(par_inner, p1)
+        xs = unravel(x)
+        J = inner.jacobian(xs, params)
+        vals, vecs = dense_eig(J)
+        lam_t = 1j * omega
+        # right eigenvector closest to i*omega
+        i0 = jnp.argmin(jnp.abs(vals - lam_t))
+        zeta = vecs[:, i0]
+        zeta = zeta / jnp.linalg.norm(zeta)
+        valsT, vecsT = dense_eig(J.T)
+        iT = jnp.argmin(jnp.abs(valsT - jnp.conj(lam_t)))
+        zeta_ad = vecsT[:, iT]
+        zeta_ad = zeta_ad / jnp.sum(jnp.conj(zeta) * zeta_ad)
+
+        czeta = jnp.conj(zeta)
+
+        def d2c(a, b):
+            outs = []
+            for fa in (jnp.real(a), jnp.imag(a)):
+                for fb in (jnp.real(b), jnp.imag(b)):
+                    outs.append(inner.d2F(xs, params, unravel(fa),
+                                          unravel(fb)))
+            rr, ri, ir, ii = [ravel(o)[0] for o in outs]
+            return (rr - ii) + 1j * (ri + ir)
+
+        def d3c(a, b, c):
+            out = 0.0
+            for sa, fa in ((1.0, jnp.real(a)), (1j, jnp.imag(a))):
+                for sb, fb in ((1.0, jnp.real(b)), (1j, jnp.imag(b))):
+                    for sc, fc in ((1.0, jnp.real(c)), (1j, jnp.imag(c))):
+                        t = ravel(inner.d3F(xs, params, unravel(fa),
+                                            unravel(fb), unravel(fc)))[0]
+                        out = out + sa * sb * sc * t
+            return out
+
+        R2 = lambda a, b: d2c(a, b) / 2.0
+        R3 = lambda a, b, c: d3c(a, b, c) / 6.0
+        Jc = J.astype(jnp.complex128)
+        eye = jnp.eye(n, dtype=jnp.complex128)
+        Psi200 = jnp.linalg.solve(2j * omega * eye - Jc, R2(zeta, zeta))
+        Psi110 = jnp.linalg.solve(-Jc, 2.0 * R2(zeta, czeta))
+        bv = (2.0 * R2(zeta, Psi110) + 2.0 * R2(czeta, Psi200)
+              + 3.0 * R3(zeta, zeta, czeta))
+        return jnp.real(jnp.sum(jnp.conj(bv) * zeta_ad))
+
+    return l1_fn
 
 
 def _hopf_l1(maprob, it, state):
@@ -396,7 +468,7 @@ def continuation_fold(br, ind_bif: int, lens2,
              if detect_codim2_bifurcation > 0 else None)
     cp = contparams
     if event is not None and cp.detect_event == 0:
-        cp = cp.replace(detect_event=2,
+        cp = cp.replace(detect_event=min(detect_codim2_bifurcation, 2),
                         detect_bifurcation=min(cp.detect_bifurcation, 1))
     gamma = continuation(maprob, alg, cp, kind="FoldCont", event=event,
                          **kwargs)
@@ -425,17 +497,41 @@ def continuation_hopf(br, ind_bif: int, lens2,
              if detect_codim2_bifurcation > 0 else None)
     cp = contparams
     if event is not None and cp.detect_event == 0:
-        cp = cp.replace(detect_event=2,
+        # guess-level detection by default; the located point can be refined
+        # with refine_gh / newton_bt (PALC event-bisection on MA curves is
+        # less robust than fixed-p2 refinement)
+        cp = cp.replace(detect_event=1,
                         detect_bifurcation=min(cp.detect_bifurcation, 1))
     gamma = continuation(maprob, alg, cp, kind="HopfCont", event=event,
                          **kwargs)
-    _relabel_codim2(gamma)
+    _relabel_codim2(gamma, maprob)
     return Branch(gamma=gamma, bp=br.specialpoint[ind_bif])
 
 
-def _relabel_codim2(gamma: ContResult):
-    """Map event labels to canonical codim-2 point types."""
+def _relabel_codim2(gamma: ContResult, maprob=None):
+    """Map event labels to canonical codim-2 point types.
+
+    A 'gh' label on a Hopf curve is demoted to 'zh' when the inner jacobian
+    carries a real eigenvalue at zero: the first-Lyapunov test function has a
+    POLE there (h11 = -J^{-1}B blows up), so its sign change marks a
+    zero-Hopf point, not a Bautin point."""
     for sp in gamma.specialpoint:
+        if sp.type == "gh" and maprob is not None:
+            n = maprob.n_inner
+            X = jnp.asarray(sp.x)
+            x = X[:n]
+            p1 = float(X[n])
+            par_dict = {"_inner": maprob.inner_lens.set(
+                gamma.prob.params["_inner"], p1)}
+            par_dict = maprob.lens.set(par_dict, sp.param)
+            J = maprob.inner_prob.jacobian(maprob.unravel_inner(x),
+                                           par_dict["_inner"])
+            vals = np.asarray(np.linalg.eigvals(np.asarray(J)))
+            real_zero = np.any((np.abs(vals.imag) < 1e-6)
+                               & (np.abs(vals.real) < 1e-2))
+            if real_zero:
+                sp.type = "zh"
+            continue
         if sp.type in ("bt", "cusp", "zh", "gh"):
             continue
         if sp.type in ("userC", "userD"):
@@ -473,3 +569,65 @@ def newton_hopf(br, ind_bif: int, options: Optional[NewtonPar] = None,
     params["_b"] = zeta
     return newton(_with_ma_attrs(maprob, maprob.re_make(u0=X0, params=params)),
                   options, **kwargs)
+
+
+def refine_gh(br_hopf, ind_sp: int, tol_l1: float = 1e-8,
+              max_steps: int = 60, verbose: bool = False):
+    """Refine a GH guess on a Hopf MA curve: bisect the first Lyapunov
+    coefficient in the curve's continuation parameter p2, re-solving the MA
+    Newton at each trial p2 (more robust than replaying the PALC iterator).
+
+    Returns (X, p2) at the refined GH point."""
+    gamma = br_hopf.gamma if hasattr(br_hopf, "gamma") else br_hopf
+    maprob = gamma.prob
+    sp = gamma.specialpoint[ind_sp]
+    if sp.type not in ("gh", "zh"):
+        raise ValueError(f"point {ind_sp} has type {sp.type!r}")
+    from ..continuation.engine import ContIterable
+    from ..continuation.algorithms import PALC as _PALC
+
+    it = ContIterable(maprob, _PALC(), gamma.contparams)
+    it.current_params = gamma.prob.params
+    l1_fn = _make_l1_kernel(maprob)
+
+    X0 = jnp.asarray(sp.x)
+    pa, pb = sp.interval
+    if pa == pb:
+        pa, pb = sp.param - 5e-3, sp.param + 5e-3
+
+    def solve_at(p2, Xg):
+        u, cv, itn, itl, res = it.kernels.newton_fixed(
+            Xg, jnp.asarray(p2), maprob.params)
+        return u, bool(cv)
+
+    Xa, cva = solve_at(pa, X0)
+    Xb, cvb = solve_at(pb, X0)
+    if not (cva and cvb):
+        return X0, sp.param
+    la = float(l1_fn(Xa, maprob.params["_inner"]))
+    lb = float(l1_fn(Xb, maprob.params["_inner"]))
+    if la * lb > 0:
+        # widen once
+        pa, pb = pa - (pb - pa), pb + (pb - pa)
+        Xa, cva = solve_at(pa, X0)
+        Xb, cvb = solve_at(pb, X0)
+        la = float(l1_fn(Xa, maprob.params["_inner"]))
+        lb = float(l1_fn(Xb, maprob.params["_inner"]))
+        if la * lb > 0:
+            return X0, sp.param
+    X = X0
+    for _ in range(max_steps):
+        pm = 0.5 * (pa + pb)
+        X, cv = solve_at(pm, X)
+        if not cv:
+            break
+        lm = float(l1_fn(X, maprob.params["_inner"]))
+        if verbose:
+            print(f"  [refine_gh] p2={pm:.10f} l1={lm:+.3e}")
+        if abs(lm) < tol_l1 or (pb - pa) < 1e-12:
+            return X, pm
+        if la * lm <= 0:
+            pb, lb = pm, lm
+        else:
+            pa, la = pm, lm
+    return X, 0.5 * (pa + pb)

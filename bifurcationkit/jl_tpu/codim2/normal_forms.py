@@ -40,20 +40,19 @@ def _bt_basis(J):
     # J' p0 = p1
     p0, *_ = np.linalg.lstsq(J.T, p1, rcond=None)
 
-    # bi-orthonormalization (Kuznetsov 8.4):
-    # scale so <p1, q0> != 0 ... we need <q0,p0>=<q1,p1>=1, <q0,p1>=<q1,p0>=0
-    # first normalize p1 against q1 and p0 against q0
+    # gauge fix (Kuznetsov / reference convention, MinAugBT.jl): q0 unit,
+    # q1 orthogonal to q0 (J q1 = q0 is preserved: q0 in ker J), then the
+    # adjoint chain biorthonormalized: <p1,q1> = <p0,q0> = 1, <p0,q1> = 0
+    q1 = q1 - np.dot(q0, q1) * q0
     s = np.dot(p1, q1)
     if abs(s) < 1e-12:
         raise RuntimeError("BT basis: <p1, q1> ~ 0; point is not a clean BT")
     p1 = p1 / s
-    p0 = p0 - np.dot(p0, q1) / np.dot(p1, q1) * p1
+    p0 = p0 - np.dot(p0, q1) * p1
     s0 = np.dot(p0, q0)
     if abs(s0) < 1e-12:
         raise RuntimeError("BT basis: <p0, q0> ~ 0")
     p0 = p0 / s0
-    # adjust q1 so <p0, q1> = 0 while keeping J q1 = q0 (add multiples of q0)
-    q1 = q1 - np.dot(p0, q1) * q0
     return (jnp.asarray(q0), jnp.asarray(q1), jnp.asarray(p0),
             jnp.asarray(p1))
 
@@ -229,9 +228,12 @@ def get_normal_form_codim2(br_codim2, ind_bif: int, verbose: bool = False):
         pt.p = (p1, sp.param)
         return pt
     if sp.type == "gh":
-        return Bautin(x0=X[:n], p=(p1, sp.param), params=params,
-                      lens=inner.lens, omega=float(X[n + 1])
-                      if X.shape[0] > n + 1 else 0.0, prob=inner)
+        from ..normal_forms.bautin import bautin_normal_form
+
+        pt = bautin_normal_form(inner, maprob.unravel_inner(X[:n]), params,
+                                verbose=verbose)
+        pt.p = (p1, sp.param)
+        return pt
     if sp.type == "zh":
         return ZeroHopf(x0=X[:n], p=(p1, sp.param), params=params,
                         lens=inner.lens, prob=inner)

@@ -95,6 +95,11 @@ def _continuation_loop(it: ContIterable, x0=None, params=None) -> ContResult:
                     sp_ev = locate_event(it, state, res)
                     if sp_ev is not None:
                         res.specialpoint.append(sp_ev)
+                    # arm for the NEXT crossing: collapse (cur, prev) so the
+                    # just-located event does not re-trigger every step
+                    update_event(it, state)
+                    state.event_values = (state.event_values[0],
+                                          state.event_values[0])
 
             # ---- problem update hook (re-anchoring MA borders, section
             # updates, mesh adaptation — ref update!, src/Continuation.jl:251)

@@ -158,6 +158,56 @@ class BifurcationProblem:
         _, d3 = jax.jvp(j2, (u,), (dx3,))
         return d3
 
+    def d4F(self, u, params, dx1, dx2, dx3, dx4):
+        """Quadrilinear form d^4F(u)[dx1..dx4] via nested jvp."""
+
+        def j3(x):
+            def j2(y):
+                def jv(z):
+                    _, o = jax.jvp(lambda w: self.F(w, params), (z,), (dx1,))
+                    return o
+
+                _, o2 = jax.jvp(jv, (y,), (dx2,))
+                return o2
+
+            _, o3 = jax.jvp(j2, (x,), (dx3,))
+            return o3
+
+        _, d4 = jax.jvp(j3, (u,), (dx4,))
+        return d4
+
+    def d5F(self, u, params, dx1, dx2, dx3, dx4, dx5):
+        """Quintilinear form d^5F(u)[dx1..dx5] via nested jvp."""
+
+        def j4(x):
+            return self.d4F(x, params, dx1, dx2, dx3, dx4)
+
+        _, d5 = jax.jvp(j4, (u,), (dx5,))
+        return d5
+
+    def _multilinear_complex(self, form, u, params, *dxs):
+        """Extend a real multilinear form to complex directions by
+        splitting each direction into re/im (2^k real evaluations)."""
+        from itertools import product as _product
+
+        re = lambda t: jax.tree_util.tree_map(lambda x: jnp.real(x), t)
+        im = lambda t: jax.tree_util.tree_map(lambda x: jnp.imag(x), t)
+        out = None
+        for combo in _product((0, 1), repeat=len(dxs)):
+            coef = 1j ** sum(combo)
+            args = [im(d) if c else re(d) for c, d in zip(combo, dxs)]
+            term = form(u, params, *args)
+            term = jax.tree_util.tree_map(lambda x: coef * x, term)
+            out = term if out is None else jax.tree_util.tree_map(
+                jnp.add, out, term)
+        return out
+
+    def d4F_complex(self, u, params, *dxs):
+        return self._multilinear_complex(self.d4F, u, params, *dxs)
+
+    def d5F_complex(self, u, params, *dxs):
+        return self._multilinear_complex(self.d5F, u, params, *dxs)
+
     def d2F_complex(self, u, params, dx1, dx2):
         """Bilinear form extended to complex directions by multilinearity
         (ref `BilinearMap` complex splitting, src/Problems.jl:677-694).

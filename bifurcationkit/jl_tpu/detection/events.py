@@ -171,23 +171,25 @@ def locate_event(it, state, res, verbose: bool = False):
     if not idxs:
         return None
 
+    best = None
     if cp.detect_event == 2 and abs(state.ds) >= cp.dsmin_bisection:
-        _bisect_event(it, state, verbose)
+        best = _bisect_event(it, state, verbose)
 
     label = "userC" if getattr(event, "is_continuous", True) else "userD"
     labels = getattr(event, "labels", None)
     if labels is not None and len(idxs) == 1 and idxs[0] < len(labels):
         label = labels[idxs[0]]
+    at = best if best is not None else state
     return SpecialPoint(
         type=label,
         idx=len(res),
-        param=state.p,
-        norm=float(it.norm(state.z.u)),
-        x=state.z.u,
-        tau=state.tau,
+        param=at.p,
+        norm=float(it.norm(at.z.u)),
+        x=at.z.u,
+        tau=at.tau,
         step=state.step,
-        status="converged" if cp.detect_event == 2 else "guess",
-        interval=(min(state.p, state.p_old), max(state.p, state.p_old)),
+        status="converged" if best is not None else "guess",
+        interval=(min(at.p, at.p_old), max(at.p, at.p_old)),
     )
 
 
@@ -234,9 +236,19 @@ def _bisect_event(it, state, verbose: bool = False):
                   f"val={cur_val:.3e} ds={bis.ds:.3e}")
         if abs(bis.p - bis.p_old) < tol or best_val < tol:
             break
+    # record the closest iterate, but leave the CONTINUATION state strictly
+    # on the post-crossing side so the event does not re-trigger on the next
+    # step (ref: bisection ends just past the point)
+    cur0 = state.event_values[0][comp]
+    if np.sign(best.event_values[0][comp]) != post_sign:
+        # best sits on the pre side: keep the original post-side state for
+        # continuing, and re-arm its event values
+        state.event_values = (state.event_values[0], state.event_values[0])
+        return best
     state.z = best.z
     state.z_old = best.z_old
     state.tau = best.tau
     state.eigvals = best.eigvals
     state.eigvecs = best.eigvecs
-    state.event_values = best.event_values
+    state.event_values = (best.event_values[0], best.event_values[0])
+    return best

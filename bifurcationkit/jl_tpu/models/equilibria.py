@@ -110,7 +110,7 @@ def co_oxidation(params=None):
     """CO-oxidation model (ref test/hopf_codim_2/COModel.jl):
     fold & hopf curves with GH points."""
     if params is None:
-        params = {"q1": 2.5, "q2": 2.0, "q3": 10.0, "q4": 0.0675,
+        params = {"q1": 2.5, "q2": 1.0, "q3": 10.0, "q4": 0.0675,
                   "q5": 1.0, "q6": 0.1, "k": 0.4}
 
     def F(u, par):
@@ -124,7 +124,8 @@ def co_oxidation(params=None):
             q4 * z - k * q4 * s,
         ])
 
-    u0 = jnp.array([0.07792759, 0.38299565, 0.26730475])
+    # ref test/hopf_codim_2/COModel.jl:21
+    u0 = jnp.array([0.001137, 0.891483, 0.062345])
     return BifurcationProblem(F, u0=u0, params=params, lens="q2")
 
 

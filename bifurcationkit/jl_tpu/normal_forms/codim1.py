@@ -89,6 +89,26 @@ class _FlatProblem:
                                 self.unravel(v3))
         return ravel(out)[0]
 
+    def d4F(self, *vs):
+        if any(jnp.iscomplexobj(v) for v in vs):
+            out = self.prob.d4F_complex(
+                self.unravel(self.flat0), self.parbif,
+                *[self._unravel_c(v) for v in vs])
+        else:
+            out = self.prob.d4F(self.unravel(self.flat0), self.parbif,
+                                *[self.unravel(v) for v in vs])
+        return ravel(out)[0]
+
+    def d5F(self, *vs):
+        if any(jnp.iscomplexobj(v) for v in vs):
+            out = self.prob.d5F_complex(
+                self.unravel(self.flat0), self.parbif,
+                *[self._unravel_c(v) for v in vs])
+        else:
+            out = self.prob.d5F(self.unravel(self.flat0), self.parbif,
+                                *[self.unravel(v) for v in vs])
+        return ravel(out)[0]
+
     def _unravel_c(self, v):
         re = self.unravel(jnp.real(v))
         im = self.unravel(jnp.imag(v))
@@ -415,7 +435,15 @@ def hopf_predictor(hp: Hopf, ds: float, verbose: bool = False,
 
 def get_normal_form(br, ind_bif: int, prob=None, verbose: bool = False,
                     **kwargs):
-    prob = prob or br.prob
+    gamma = getattr(br, "gamma", br)
+    prob = prob or gamma.prob
+    # periodic-orbit branches dispatch to the Poincare-return-map route
+    # (ref get_normal_form for PO branches, periodicorbit/NormalForms.jl)
+    if hasattr(prob, "disc"):
+        from ..periodic.normal_forms import get_normal_form_po
+
+        return get_normal_form_po(br, ind_bif, verbose=verbose)
+    br = gamma
     sp = br.specialpoint[ind_bif]
     if sp.type == "hopf":
         return hopf_normal_form(prob, br, ind_bif, verbose=verbose)

@@ -199,3 +199,63 @@ def test_newton_bt_refine():
     assert bool(sol.converged)
     p1, p2 = float(sol.u[-2]), float(sol.u[-1])
     assert abs(p1) < 1e-7 and abs(p2) < 1e-7
+
+
+def test_bautin_l2_normal_form():
+    """l2 on the exact Bautin normal form z' = i w z + i b z|z|^2 + e z|z|^4:
+    l1 = 0, l2 = 4 Re(e) (unit-norm convention, cf. Hopf b = 2 l1)."""
+    from bifurcationkit.jl_tpu.normal_forms import bautin_normal_form
+
+    w = 1.3
+
+    def make(b, e):
+        def F(u, par):
+            z = u[0] + 1j * u[1]
+            zz = z * jnp.conj(z)
+            out = 1j * w * z + b * z * zz + e * z * zz ** 2
+            return jnp.array([jnp.real(out), jnp.imag(out)])
+
+        return bk.BifurcationProblem(F, u0=jnp.zeros(2), params={"p": 0.0},
+                                     lens="p")
+
+    pt = bautin_normal_form(make(0.3j, -1.0), jnp.zeros(2), {"p": 0.0})
+    assert abs(pt.nf["l1"]) < 1e-10
+    assert pt.nf["l2"] == pytest.approx(-4.0, abs=1e-8)
+    assert pt.subtype == "SuperCritical"
+    pt2 = bautin_normal_form(make(-0.7j, 0.5 + 0.4j), jnp.zeros(2),
+                             {"p": 0.0})
+    assert pt2.nf["l2"] == pytest.approx(2.0, abs=1e-8)
+
+
+def test_gh_normal_form_on_hopf_curve():
+    """GH detected on the Lorenz-84 Hopf curve -> Bautin l2 from the curve."""
+    from bifurcationkit.jl_tpu import models
+
+    prob = models.lorenz84()
+    cp = bk.ContinuationPar(ds=0.01, dsmax=0.04, dsmin=1e-6, p_min=-1.0,
+                            p_max=5.0, max_steps=300, detect_bifurcation=3,
+                            nev=4, n_inversion=6,
+                            newton_options=bk.NewtonPar(tol=1e-10,
+                                                        max_iterations=30))
+    br = bk.continuation(prob, bk.PALC(), cp)
+    i = br.specialpoint.index(br.get_special_points("hopf")[0])
+    cp2 = bk.ContinuationPar(ds=0.01, dsmax=0.03, dsmin=1e-6, p_min=0.0001,
+                             p_max=3.0, max_steps=100, detect_bifurcation=0,
+                             detect_fold=False,
+                             newton_options=bk.NewtonPar(tol=1e-9,
+                                                         max_iterations=30))
+    brh = bk.continuation_hopf(br, i, "G", cp2, detect_codim2_bifurcation=2)
+    # the l1 sign change on this curve happens where a real eigenvalue sits
+    # near zero -> it is a zero-Hopf, and the relabeling must catch that
+    # (the reference also finds :zh on Lorenz-84 Hopf curves).  Genuine GH
+    # gold values are validated on the CO model (test_co_model.py).
+    pts = [sp for sp in brh.specialpoint if sp.type in ("gh", "zh")]
+    assert len(pts) >= 1
+    assert any(sp.type == "zh" for sp in pts), [sp.type for sp in pts]
+    zh = [sp for sp in pts if sp.type == "zh"][0]
+    X = np.asarray(zh.x)
+    params = {"a": 0.25, "b": 4.0, "G": float(zh.param), "F": float(X[4])}
+    J = prob.jacobian(jnp.asarray(X[:4]), params)
+    vals = np.linalg.eigvals(np.asarray(J))
+    realzero = vals[np.abs(vals.imag) < 1e-6]
+    assert np.min(np.abs(realzero.real)) < 2e-2
