@@ -44,8 +44,8 @@ from .periodic import (Collocation, Flow, FloquetEig, PoincareShooting,
                        continuation_po, newton_po, orbit_from_branch,
                        periodic_orbit_problem)
 from .periodic.codim2 import (continuation_fold_po, continuation_ns,
-                              continuation_pd, pd_branch_switch,
-                              po_codim2_test_values)
+                              bp_po_branch_switch, continuation_pd,
+                              pd_branch_switch, po_codim2_test_values)
 from .periodic.normal_forms import get_normal_form_po, poincare_return_map
 from .periodic.cop import COPLS, collocation_block_jacobian, cop_solve
 from .periodic import FloquetGEV, get_periodic_orbit

@@ -11,3 +11,4 @@ from .normal_forms import get_normal_form_po, poincare_return_map
 from .cop import COPLS, COPBlocks, collocation_block_jacobian, cop_solve
 from .floquet import FloquetGEV
 from .orbits import get_periodic_orbit
+from .codim2 import bp_po_branch_switch

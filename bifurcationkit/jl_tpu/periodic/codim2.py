@@ -260,6 +260,42 @@ def continuation_fold_po(br_po, ind_bif, lens2, contparams,
 # ---------------------------------------------------------------------------
 
 
+def bp_po_branch_switch(br_po, ind_bp, contparams, ampfactor: float = 0.1,
+                        delta_p: float = 0.0, alg=None, **kwargs) -> Branch:
+    """aBS at a branch point of periodic orbits (multiplier +1, not a fold):
+    same-period orbit guess perturbed along the critical eigenfunction
+    (ref PO->PO branching at BP, PeriodicOrbits.jl:626-709)."""
+    from .orbits import continuation_po
+
+    gamma = br_po.gamma if isinstance(br_po, Branch) else br_po
+    sp = gamma.specialpoint[ind_bp]
+    po_prob = gamma.prob
+    disc = po_prob.disc
+    prob_vf = po_prob.prob_vf
+    n = po_prob.n_vf
+    X = jnp.asarray(sp.x)
+    p1 = sp.param + delta_p
+    nodes, T = disc.split(X, n)
+
+    par = po_prob.set_lens_param(po_prob.params, sp.param)
+    M = disc.monodromy(prob_vf, X, par)
+    mult, vecs = dense_eig(M)
+    mult_np = np.asarray(mult)
+    # critical +1 multiplier EXCLUDING the trivial one: second closest to 1
+    order = np.argsort(np.abs(mult_np - 1.0))
+    i0 = int(order[1]) if len(order) > 1 else int(order[0])
+    phi0 = np.array(np.real(np.asarray(vecs)[:, i0]))
+    phi0 /= np.linalg.norm(phi0)
+
+    nodes_np = np.asarray(nodes)
+    scale = ampfactor * float(np.linalg.norm(nodes_np[0]) + 1.0)
+    new_nodes = nodes_np + scale * phi0[None, :]
+    X2 = disc.pack(jnp.asarray(new_nodes), T)
+    params_new = prob_vf.set_lens_param(prob_vf.params, float(p1))
+    return continuation_po(prob_vf, disc, X2, contparams, alg=alg,
+                           params=params_new, **kwargs)
+
+
 def pd_branch_switch(br_po, ind_pd, contparams, ampfactor: float = 0.1,
                      delta_p: float = 0.0, alg=None, **kwargs) -> Branch:
     """aBS at a PD point: double-period orbit guess = orbit traversed twice
