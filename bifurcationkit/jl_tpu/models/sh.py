@@ -58,12 +58,40 @@ def swift_hohenberg_2d(Nx: int = 151, Ny: int = 100, lx: float = 8 * np.pi,
     sol0 = sol0 / sol0.max()
     sol0 = (sol0 - 0.25) * 1.7
 
-    return BifurcationProblem(
+    prob = BifurcationProblem(
         F, u0=jnp.asarray(sol0), params={"l": l, "nu": nu}, lens="l",
         d2F_user=d2F, d3F_user=d3F,
         record_from_solution=lambda x, p, **k: {
             "param": p, "norm": jnp.linalg.norm(x.ravel()),
             "n8": jnp.power(jnp.sum(x.ravel() ** 8), 1.0 / 8)})
+
+    # exact spectral preconditioner: DCT-II diagonalizes the
+    # modified-corner Neumann Laplacian (verified to 1e-16), so
+    # (-(I+Delta)^2 - shift)^{-1} is diagonal in the 2D cosine basis —
+    # the Neumann-BC analogue of the reference's FFT operator
+    # (ref examples/SH2d-fronts-cuda.jl:31-65)
+    lx_ = 2 * (np.cos(np.pi * np.arange(Nx) / Nx) - 1) / hx2
+    ly_ = 2 * (np.cos(np.pi * np.arange(Ny) / Ny) - 1) / hy2
+    sym = -(1.0 + lx_[:, None] + ly_[None, :]) ** 2
+    sym = jnp.asarray(sym)
+
+    def dct2(u):
+        import jax as _jax
+
+        v = _jax.scipy.fft.dct(u, type=2, norm="ortho", axis=0)
+        return _jax.scipy.fft.dct(v, type=2, norm="ortho", axis=1)
+
+    def idct2(u):
+        import jax as _jax
+
+        v = _jax.scipy.fft.idct(u, type=2, norm="ortho", axis=1)
+        return _jax.scipy.fft.idct(v, type=2, norm="ortho", axis=0)
+
+    def precond(v, shift=1.0):
+        return idct2(dct2(v) / (sym - shift))
+
+    object.__setattr__(prob, "spectral_precond", precond)
+    return prob
 
 
 def swift_hohenberg_periodic_2d(N: int = 512, L: float = 16 * np.pi,

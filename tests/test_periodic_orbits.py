@@ -173,3 +173,18 @@ def test_mesh_adaptation_runs():
     mask = tbl["param"] > 0.3
     np.testing.assert_allclose(tbl["amplitude"][mask],
                                2 * np.sqrt(tbl["param"][mask]), rtol=5e-3)
+
+
+def test_poincare_shooting_newton():
+    """Poincare shooting: residual ~ 0 on the exact SL orbit, Newton
+    recovers the exact period (sum of return times)."""
+    from bifurcationkit.jl_tpu.periodic.orbits import periodic_orbit_problem
+
+    prob = sl_problem()
+    disc = bk.PoincareShooting(M=2, steps_per_segment=150)
+    X0 = disc.generate_solution(exact_orbit, PERIOD, 2)
+    po = periodic_orbit_problem(prob, disc, X0)
+    assert float(jnp.linalg.norm(po.F(X0, po.params))) < 1e-6
+    sol = bk.newton(po, bk.NewtonPar(tol=1e-10, max_iterations=30))
+    assert bool(sol.converged)
+    assert float(disc.period(sol.u)) == pytest.approx(PERIOD, rel=1e-7)

@@ -139,3 +139,28 @@ def test_bratu_trapezoid_discretizer():
     u = np.asarray(sol.u).reshape(-1, 2)
     mid = np.interp(0.5, disc.times(), u[:, 0])
     assert mid == pytest.approx(0.14050, abs=2e-3)
+
+
+def test_sh2d_fronts_snaking_fold():
+    """The reference's flagship SH2d-fronts workload (ref
+    examples/SH2d-fronts.jl) at reduced resolution: matrix-free
+    Newton-GMRES with the exact DCT (Neumann) spectral preconditioner;
+    the localized-front branch folds in the snaking region."""
+    from bifurcationkit.jl_tpu import models
+
+    prob = models.swift_hohenberg_2d(Nx=100, Ny=66)
+    ls = bk.GMRES(restart=40, maxiter=300, rtol=1e-10,
+                  precond=prob.spectral_precond)
+    sol = bk.newton(prob, bk.NewtonPar(tol=1e-8, max_iterations=25,
+                                       linsolver=ls))
+    assert bool(sol.converged)
+    cp = bk.ContinuationPar(ds=-0.005, dsmax=0.01, dsmin=1e-6, p_min=-1.0,
+                            p_max=0.2, max_steps=25, detect_bifurcation=0,
+                            detect_fold=True,
+                            newton_options=bk.NewtonPar(
+                                tol=1e-7, max_iterations=15, linsolver=ls))
+    br = bk.continuation(prob.re_make(u0=sol.u), bk.PALC(), cp)
+    folds = br.get_special_points("fold")
+    assert len(folds) >= 1
+    # snaking fold in the subcritical region
+    assert -0.35 < folds[0].param < -0.12
