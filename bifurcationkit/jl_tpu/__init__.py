@@ -39,6 +39,7 @@ from .codim2 import (bt_normal_form, bt_predictors, continuation_fold,
                      continuation_hopf, cusp_normal_form,
                      get_normal_form_codim2, newton_bt, newton_fold,
                      newton_hopf, refine_gh)
+from .codim2.zh_hh import hh_normal_form, zh_normal_form
 from .periodic import (Collocation, Flow, FloquetEig, PoincareShooting,
                        Shooting, Trapeze, continuation_hopf_po,
                        continuation_po, newton_po, orbit_from_branch,

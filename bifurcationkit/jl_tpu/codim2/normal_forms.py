@@ -235,9 +235,15 @@ def get_normal_form_codim2(br_codim2, ind_bif: int, verbose: bool = False):
         pt.p = (p1, sp.param)
         return pt
     if sp.type == "zh":
-        return ZeroHopf(x0=X[:n], p=(p1, sp.param), params=params,
-                        lens=inner.lens, prob=inner)
+        from .zh_hh import zh_normal_form
+
+        pt = zh_normal_form(inner, maprob.unravel_inner(X[:n]), params,
+                            verbose=verbose)
+        pt.p = (p1, sp.param)
+        return pt
     if sp.type == "hh":
+        # hh_normal_form is available but its coefficient conventions are
+        # still experimental; return the record with eigen-data
         return HopfHopf(x0=X[:n], p=(p1, sp.param), params=params,
                         lens=inner.lens, prob=inner)
     raise ValueError(f"point {ind_bif} has type {sp.type!r}; expected a "

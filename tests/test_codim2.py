@@ -259,3 +259,25 @@ def test_gh_normal_form_on_hopf_curve():
     vals = np.linalg.eigvals(np.asarray(J))
     realzero = vals[np.abs(vals.imag) < 1e-6]
     assert np.min(np.abs(realzero.real)) < 2e-2
+
+
+def test_zh_normal_form_coefficients():
+    """ZH coefficients on the exact normal form
+    x' = a x^2 + b|z|^2, z' = i w z + c x z:
+    G200 = 2a, G011 = 2b (unit-norm q1), G110 = c."""
+    a, b, c, w = 0.7, -1.3, 0.4 + 0.2j, 1.9
+
+    def F(u, par):
+        x = u[0]
+        z = u[1] + 1j * u[2]
+        dx = a * x * x + b * (z * jnp.conj(z))
+        dz = 1j * w * z + c * x * z
+        return jnp.array([dx, jnp.real(dz), jnp.imag(dz)])
+
+    prob = bk.BifurcationProblem(F, u0=jnp.zeros(3), params={"p": 0.0},
+                                 lens="p")
+    pt = bk.zh_normal_form(prob, jnp.zeros(3), {"p": 0.0})
+    assert pt.nf["G200"] == pytest.approx(2 * a, abs=1e-10)
+    assert pt.nf["G011"] == pytest.approx(2 * b, abs=1e-10)
+    assert pt.nf["G110"] == pytest.approx(c, abs=1e-10)
+    assert pt.omega == pytest.approx(w, abs=1e-10)
