@@ -27,6 +27,7 @@ from ..codim2.minaug import _adjoint_border_solve, _border_solve
 from ..continuation.algorithms import PALC
 from ..continuation.driver import continuation
 from ..continuation.results import Branch
+from ..detection.events import ContinuousEvent
 from ..core.lens import Lens, as_lens
 from ..core.params import ContinuationPar, NewtonPar
 from ..core.problem import BifurcationProblem
@@ -159,8 +160,110 @@ def _start_data(br_po, ind_bif, which: str):
     return X, p1, theta, jnp.asarray(zeta), jnp.asarray(zeta_ad), par
 
 
+def _po_codim3_event(po_prob, split, kind: str, flow_steps: int,
+                     compute_nf: bool):
+    """Codim-3 test functions monitored along PO codim-2 curves
+    (ref test_for_pd_gpd_cp, MinAugPD.jl:393-438: (GPD, CP, R2);
+    test_for_ns_ch, MinAugNS.jl:415-463: (R1..R4, CH) with
+    R1=omega, R2=cos(omega)+1, R3=2cos(omega)+1, R4=cos(omega),
+    after De Witte, 'Computational Analysis of Bifurcations of POs').
+
+    GPD/CH are normal-form coefficients of the Poincare return map,
+    evaluated by once-jitted PRM kernels (point as arguments)."""
+    from .normal_forms import make_prm_coef_kernels
+
+    prob_vf = po_prob.prob_vf
+    disc = po_prob.disc
+    n = po_prob.n_vf
+    inner_lens = as_lens(prob_vf.lens)
+    kernels = make_prm_coef_kernels(prob_vf, flow_steps=flow_steps) \
+        if compute_nf else None
+
+    def _point(it, state):
+        par = it.current_params
+        X, p1, theta = split(state.z.u)
+        po_par = {k: v for k, v in par.items() if k not in ("_a", "_b")}
+        po_par["_inner"] = inner_lens.set(par["_inner"], p1)
+        nodes, T = disc.split(X, n)
+        return X, po_par, nodes[0], T, theta, par
+
+    def _prm_eig(x0, T, par_inner, which):
+        dP_fn, _, _ = kernels
+        A = np.asarray(dP_fn(x0, T, par_inner))
+        vals, vecs = np.linalg.eig(A)
+        valsT, vecsT = np.linalg.eig(A.T)
+        if which == "pd":
+            i0 = int(np.argmin(np.abs(vals + 1.0)))
+            iT = int(np.argmin(np.abs(valsT + 1.0)))
+            q = np.real(vecs[:, i0])
+            q /= np.linalg.norm(q)
+            p = np.real(vecsT[:, iT])
+            p /= np.dot(p, q)
+            return A, vals[i0], q, p
+        cand = np.where(vals.imag > 1e-10)[0]
+        if len(cand) == 0:
+            return A, None, None, None
+        i0 = cand[np.argmin(np.abs(np.abs(vals[cand]) - 1.0))]
+        lam = vals[i0]
+        q = vecs[:, i0]
+        q /= np.linalg.norm(q)
+        iT = int(np.argmin(np.abs(valsT - np.conj(lam))))
+        p = vecsT[:, iT]
+        p /= np.conj(np.vdot(p, q))
+        return A, lam, q, p
+
+    if kind == "pd":
+        def cond(it, state):
+            X, po_par, x0, T, _, par = _point(it, state)
+            M = disc.monodromy(prob_vf, X, po_par)
+            v, _ = _border_solve(M, par["_a"], par["_b"], shift=1.0)
+            w, _ = _adjoint_border_solve(M, par["_a"], par["_b"], shift=1.0)
+            v = v / jnp.linalg.norm(v)
+            w = w / jnp.linalg.norm(w)
+            r2 = float(jnp.real(jnp.vdot(w, v)))
+            cp = float(state.tau.p)
+            if compute_nf:
+                _, _, q, p = _prm_eig(x0, T, po_par["_inner"], "pd")
+                gpd = float(kernels[1](x0, T, po_par["_inner"],
+                                       jnp.asarray(q), jnp.asarray(p)))
+            else:
+                gpd = 1.0
+            return (gpd, cp, r2)
+
+        return ContinuousEvent(nb=3, condition=cond,
+                               labels=["gpd", "cusp", "R2"])
+
+    if kind == "ns":
+        def cond(it, state):
+            X, po_par, x0, T, theta, par = _point(it, state)
+            th = float(theta)
+            c = np.cos(th)
+            if compute_nf:
+                _, lam, q, p = _prm_eig(x0, T, po_par["_inner"], "ns")
+                if q is None:
+                    ch = 1.0
+                else:
+                    ch = float(kernels[2](x0, T, po_par["_inner"],
+                                          jnp.asarray(q), jnp.asarray(p),
+                                          float(np.angle(lam))))
+            else:
+                ch = 1.0
+            return (th, c + 1.0, 2 * c + 1.0, c, ch)
+
+        return ContinuousEvent(nb=5, condition=cond,
+                               labels=["R1", "R2", "R3", "R4", "ch"])
+
+    # fold of PO: cusp = fold of the fold curve in the second parameter
+    def cond(it, state):
+        return (float(state.tau.p),)
+
+    return ContinuousEvent(nb=1, condition=cond, labels=["cusp"])
+
+
 def _continuation_po_codim2(br_po, ind_bif, lens2, contparams, kind,
-                            alg=None, **kwargs):
+                            alg=None, detect_codim3: int = 1,
+                            compute_nf_events: bool = True,
+                            nf_flow_steps: int = 120, **kwargs):
     gamma = br_po.gamma if isinstance(br_po, Branch) else br_po
     po_prob = gamma.prob
     alg = alg or PALC()
@@ -188,8 +291,15 @@ def _continuation_po_codim2(br_po, ind_bif, lens2, contparams, kind,
         object.__setattr__(maprob2, attr, getattr(maprob, attr))
     cp = contparams.replace(detect_bifurcation=min(
         contparams.detect_bifurcation, 1))
+    event = None
+    if detect_codim3 > 0:
+        event = _po_codim3_event(po_prob, split, kind,
+                                 flow_steps=nf_flow_steps,
+                                 compute_nf=compute_nf_events)
+        if cp.detect_event == 0:
+            cp = cp.replace(detect_event=min(detect_codim3, 2))
     gamma2 = continuation(maprob2, alg, cp, kind=f"POCodim2-{kind}",
-                          **kwargs)
+                          event=event, **kwargs)
     return Branch(gamma=gamma2, bp=gamma.specialpoint[ind_bif])
 
 

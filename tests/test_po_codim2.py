@@ -61,7 +61,7 @@ def test_pd_curve_continuation(lure_po_branch):
                              detect_fold=False,
                              newton_options=bk.NewtonPar(tol=1e-7,
                                                          max_iterations=15))
-    br_pd = bk.continuation_pd(br_po, idx, "beta", cp2)
+    br_pd = bk.continuation_pd(br_po, idx, "beta", cp2, detect_codim3=0)
     assert len(br_pd) >= 5
     # along the PD curve the monodromy must keep a multiplier at -1
     po_prob = br_po.gamma.prob
@@ -111,6 +111,63 @@ def test_po_normal_form_pd(lure_po_branch):
     assert pt.subtype in ("SuperCritical", "SubCritical")
 
 
+def test_prm_coef_kernels_match_normal_form(lure_po_branch):
+    """The once-jitted GPD kernel (point as arguments) must agree with the
+    closure-built PRM normal form at the PD point (ref GPD test quantity,
+    MinAugPD.jl:393-438)."""
+    from bifurcationkit.jl_tpu.periodic.normal_forms import \
+        make_prm_coef_kernels
+
+    prob, br, br_po = lure_po_branch
+    pds = br_po.gamma.get_special_points("pd")
+    idx = br_po.gamma.specialpoint.index(pds[0])
+    pt = bk.get_normal_form_po(br_po, idx)
+
+    po_prob = br_po.gamma.prob
+    sp = pds[0]
+    n = po_prob.n_vf
+    X = jnp.asarray(sp.x)
+    nodes, T = po_prob.disc.split(X, n)
+    x0 = nodes[0]
+    par = po_prob.set_lens_param(po_prob.params, sp.param)["_inner"] \
+        if "_inner" in po_prob.params else \
+        po_prob.prob_vf.set_lens_param(po_prob.prob_vf.params, sp.param)
+    dP_fn, pd_coef, _ = make_prm_coef_kernels(po_prob.prob_vf,
+                                              flow_steps=300)
+    A = np.asarray(dP_fn(x0, T, par))
+    vals, vecs = np.linalg.eig(A)
+    i0 = int(np.argmin(np.abs(vals + 1.0)))
+    assert abs(vals[i0] + 1.0) < 5e-2
+    q = np.real(vecs[:, i0])
+    q /= np.linalg.norm(q)
+    valsT, vecsT = np.linalg.eig(A.T)
+    iT = int(np.argmin(np.abs(valsT + 1.0)))
+    p = np.real(vecsT[:, iT])
+    p /= np.dot(p, q)
+    b3 = float(pd_coef(x0, T, par, jnp.asarray(q), jnp.asarray(p)))
+    assert np.isfinite(b3)
+    # same quantity as the closure-based normal form (same flow resolution)
+    assert b3 == pytest.approx(pt.nf["c"], rel=0.05, abs=1e-6)
+
+
+def test_pd_curve_codim3_events(lure_po_branch):
+    """Short PD curve with codim-3 monitoring on: GPD/CP/R2 test values must
+    be finite and any recorded special point must carry a codim-3 label."""
+    prob, br, br_po = lure_po_branch
+    pds = br_po.gamma.get_special_points("pd")
+    idx = br_po.gamma.specialpoint.index(pds[0])
+    cp2 = bk.ContinuationPar(ds=0.02, dsmax=0.05, dsmin=1e-6, p_min=0.8,
+                             p_max=1.4, max_steps=4, detect_bifurcation=0,
+                             detect_fold=False,
+                             newton_options=bk.NewtonPar(tol=1e-7,
+                                                         max_iterations=15))
+    br_pd = bk.continuation_pd(br_po, idx, "beta", cp2, detect_codim3=1,
+                               nf_flow_steps=80)
+    assert len(br_pd) >= 3
+    for sp in br_pd.gamma.specialpoint:
+        assert sp.type in ("gpd", "cusp", "R2", "endpoint", "codim2")
+
+
 def test_po_codim2_resonance_values(lure_po_branch):
     prob, br, br_po = lure_po_branch
     pds = br_po.gamma.get_special_points("pd")
@@ -120,7 +177,7 @@ def test_po_codim2_resonance_values(lure_po_branch):
                              detect_fold=False,
                              newton_options=bk.NewtonPar(tol=1e-7,
                                                          max_iterations=15))
-    br_pd = bk.continuation_pd(br_po, idx, "beta", cp2)
+    br_pd = bk.continuation_pd(br_po, idx, "beta", cp2, detect_codim3=0)
     vals = bk.po_codim2_test_values(br_pd, -1)
     # on a PD curve the R2 quantity (distance of a multiplier to -1) is ~ 0
     assert vals["R2"] < 1e-6
