@@ -76,9 +76,17 @@ def periodic_orbit_problem(prob_vf: BifurcationProblem, disc, X0,
         return disc.residual(prob_vf, X, par)
 
     is_poincare = isinstance(disc, PoincareShooting)
+    is_poincare_ev = is_poincare and getattr(disc, "event_driven", False)
+    # event-driven Poincare shooting: the period comes out of the crossing
+    # integration (refreshed by the update hook), not from the unknowns
+    period_cell = {"T": float(np.sum(po_par["_thint"]))
+                   if is_poincare_ev else None}
 
     def record(X, p, **k):
-        T = disc.period(X) if hasattr(disc, "period") else X[-1]
+        if is_poincare_ev:
+            T = period_cell["T"]
+        else:
+            T = disc.period(X) if hasattr(disc, "period") else X[-1]
         dof = X[:-1] if not is_poincare else X
         out = {"param": p, "period": T,
                "norm": jnp.linalg.norm(dof) / jnp.sqrt(1.0 * dof.shape[0])}
@@ -96,7 +104,11 @@ def periodic_orbit_problem(prob_vf: BifurcationProblem, disc, X0,
         if update_section_every_step <= 0 or \
                 state.step % update_section_every_step != 0:
             return None
-        par = it.current_params
+        # inject the CURRENT continuation-parameter value: current_params
+        # holds the base pytree; the engine sets the lens value only when
+        # evaluating F (stale params here would re-anchor sections/crossing
+        # times against the wrong vector field)
+        par = it.prob.set_lens_param(it.current_params, float(state.p))
         X = state.z.u
         new = dict(par)
         if isinstance(disc, Collocation):
@@ -117,6 +129,10 @@ def periodic_orbit_problem(prob_vf: BifurcationProblem, disc, X0,
             _, phi = disc.phase_data(prob_vf, u, par["_inner"])
             new["_uref"] = u
             new["_phi"] = phi
+        elif is_poincare_ev:
+            new.update(disc.section_data(prob_vf, X, par["_inner"],
+                                         po_par=par))
+            period_cell["T"] = float(np.sum(np.asarray(new["_thint"])))
         elif isinstance(disc, (Shooting, PoincareShooting)):
             new.update(disc.section_data(prob_vf, X, par["_inner"]))
         return new

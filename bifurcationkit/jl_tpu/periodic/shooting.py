@@ -102,11 +102,25 @@ class PoincareShooting:
     M: int = 2
     steps_per_segment: int = 80
     method: str = "dopri5"
+    # event-driven mode (the reference's formulation, PoincareShooting.jl:50):
+    # unknowns are ONLY the hyperplane coordinates; each segment integrates
+    # until it CROSSES the next section.  The crossing is located by a
+    # fixed-length scan (first upward sign change of the section function —
+    # XLA-compatible, unlike a while_loop which blocks AD) and refined by 3
+    # Newton corrections on the crossing time, so the composed map is
+    # differentiable (implicit-function derivative through the refinement).
+    event_driven: bool = False
+    horizon: float = 1.8     # integrate up to horizon * t_hint per segment
+    newton_time_steps: int = 3
 
     def unknown_size(self, n: int) -> int:
+        if self.event_driven:
+            return self.M * (n - 1)
         return self.M * (n - 1) + self.M
 
     def split(self, X, n: int):
+        if self.event_driven:
+            return X.reshape(self.M, n - 1), None
         y = X[:self.M * (n - 1)].reshape(self.M, n - 1)
         ts = X[self.M * (n - 1):]
         return y, ts
@@ -115,7 +129,14 @@ class PoincareShooting:
         return jnp.concatenate([y.ravel(), jnp.asarray(ts)])
 
     def period(self, X):
+        if self.event_driven:
+            # the period is an OUTPUT of the event-driven integration, not a
+            # function of the unknowns alone; use period_par
+            return jnp.nan
         return jnp.sum(X[-self.M:])
+
+    def period_par(self, prob_vf, X, po_par):
+        return jnp.sum(self.crossing_times(prob_vf, X, po_par))
 
     def _flow(self, prob_vf):
         return Flow(prob_vf.F, steps=self.steps_per_segment,
@@ -140,6 +161,58 @@ class PoincareShooting:
         B = self._basis(normal)
         return B.T @ (x - center)
 
+    def _flow_to_section(self, prob_vf, x0, params, c, nrm, t_hint):
+        """Integrate from x0 until the first upward crossing of the
+        hyperplane {<x - c, nrm> = 0}, refined by Newton on the crossing
+        time (ref section-crossing callbacks, ShootingDE.jl).  Returns
+        (x_cross, tau)."""
+        K = self.steps_per_segment
+        dt = t_hint * self.horizon / K
+        small = Flow(prob_vf.F, steps=1, method=self.method)
+
+        def step(x, _):
+            x2 = small(x, params, dt)
+            return x2, x2
+
+        _, traj = jax.lax.scan(step, x0, None, length=K)
+        s = (traj - c[None, :]) @ nrm
+        s0 = jnp.dot(x0 - c, nrm)
+        prev = jnp.concatenate([s0[None], s[:-1]])
+        kmin = max(1, K // 10)
+        mask = (prev < 0) & (s >= 0) & (jnp.arange(K) >= kmin)
+        has = jnp.any(mask)
+        idx = jnp.where(has, jnp.argmax(mask), K - 1)
+        x_c = traj[idx]
+        tau = (idx + 1.0) * dt
+
+        for _ in range(self.newton_time_steps):
+            sv = jnp.dot(x_c - c, nrm)
+            dsv = jnp.dot(prob_vf.F(x_c, params), nrm)
+            dtau = -sv / dsv
+            x_c = small(x_c, params, dtau)
+            tau = tau + dtau
+        return x_c, tau
+
+    def crossing_times(self, prob_vf, X, po_par):
+        """Per-segment section-return times at the current unknowns
+        (event-driven mode): the period is their sum."""
+        params = po_par["_inner"]
+        centers = po_par["_centers"]
+        normals = po_par["_normals"]
+        thint = po_par["_thint"]
+        n = centers.shape[1]
+        y, _ = self.split(X, n)
+
+        def seg(i):
+            x_i = self.expand(y[i], centers[i], normals[i])
+            ip1 = (i + 1) % self.M
+            _, tau = self._flow_to_section(prob_vf, x_i, params,
+                                           centers[ip1], normals[ip1],
+                                           thint[i])
+            return tau
+
+        return jax.vmap(seg)(jnp.arange(self.M))
+
     def residual(self, prob_vf, X, po_par):
         params = po_par["_inner"]
         centers = po_par["_centers"]      # (M, n)
@@ -147,6 +220,22 @@ class PoincareShooting:
         n = centers.shape[1]
         y, ts = self.split(X, n)
         fl = self._flow(prob_vf)
+
+        if self.event_driven:
+            thint = po_par["_thint"]
+
+            def seg(i):
+                x_i = self.expand(y[i], centers[i], normals[i])
+                ip1 = (i + 1) % self.M
+                x_c, _ = self._flow_to_section(prob_vf, x_i, params,
+                                               centers[ip1], normals[ip1],
+                                               thint[i])
+                # fixed point of the composed Poincare maps in hyperplane
+                # coordinates: R_{i+1}(P_i(E_i y_i)) - y_{i+1} = 0
+                return self.project(x_c, centers[ip1], normals[ip1]) - y[ip1]
+
+            rows = jax.vmap(seg)(jnp.arange(self.M))
+            return rows.ravel()
 
         def seg(i):
             x_i = self.expand(y[i], centers[i], normals[i])
@@ -166,26 +255,38 @@ class PoincareShooting:
         y, ts = self.split(X, n)
         fl = self._flow(prob_vf)
         x0 = self.expand(y[0], centers[0], normals[0])
-        T = jnp.sum(ts)
+        if self.event_driven:
+            T = jnp.sum(jax.lax.stop_gradient(
+                self.crossing_times(prob_vf, X, po_par)))
+        else:
+            T = jnp.sum(ts)
         return jax.jacfwd(lambda v: fl(v, params, T))(x0)
 
     def generate_solution(self, orbit_fn, T, n: int):
         ts_angle = np.linspace(0, 2 * np.pi, self.M, endpoint=False)
         pts = np.stack([np.asarray(orbit_fn(t)) for t in ts_angle])
         y = jnp.zeros((self.M, n - 1))
-        times = jnp.full((self.M,), T / self.M)
-        # store points as section centers later via section_data; unknowns
-        # start at the section centers (y = 0)
-        obj = self.pack(y, times)
         object.__setattr__(self, "_init_centers", jnp.asarray(pts))
-        return obj
+        object.__setattr__(self, "_init_times",
+                           jnp.full((self.M,), T / self.M))
+        if self.event_driven:
+            return y.ravel()
+        return self.pack(y, jnp.full((self.M,), T / self.M))
 
-    def section_data(self, prob_vf, X, params):
+    def section_data(self, prob_vf, X, params, po_par=None):
         centers = getattr(self, "_init_centers", None)
         n = np.asarray(prob_vf.u0).size
         if centers is None:
-            y, ts = self.split(X, n)
             centers = jnp.stack([jnp.asarray(prob_vf.u0)] * self.M)
         normals = jax.vmap(lambda c: prob_vf.F(c, params))(centers)
         normals = normals / jnp.linalg.norm(normals, axis=1, keepdims=True)
-        return {"_inner": params, "_centers": centers, "_normals": normals}
+        out = {"_inner": params, "_centers": centers, "_normals": normals}
+        if self.event_driven:
+            if po_par is not None and "_thint" in po_par:
+                out["_thint"] = self.crossing_times(
+                    prob_vf, X, {**po_par, "_inner": params,
+                                 "_centers": centers, "_normals": normals})
+            else:
+                out["_thint"] = getattr(
+                    self, "_init_times", jnp.ones((self.M,)))
+        return out

@@ -175,6 +175,38 @@ def test_mesh_adaptation_runs():
                                2 * np.sqrt(tbl["param"][mask]), rtol=5e-3)
 
 
+def test_poincare_shooting_event_driven():
+    """Event-driven Poincare shooting (the reference formulation,
+    PoincareShooting.jl:50): unknowns are ONLY hyperplane coordinates; the
+    flow integrates to the section CROSSING.  On the exact SL orbit the
+    residual vanishes, Newton reconverges from a perturbed guess, and the
+    crossing times sum to the period."""
+    from bifurcationkit.jl_tpu.periodic.orbits import periodic_orbit_problem
+
+    prob = sl_problem()
+    disc = bk.PoincareShooting(M=2, steps_per_segment=150,
+                               event_driven=True)
+    X0 = disc.generate_solution(exact_orbit, PERIOD, 2)
+    assert X0.shape == (2,)            # M*(n-1) unknowns, no return times
+    po = periodic_orbit_problem(prob, disc, X0)
+    assert float(jnp.linalg.norm(po.F(X0, po.params))) < 1e-6
+    # period = sum of event-located crossing times
+    T = float(disc.period_par(prob, X0, po.params))
+    assert T == pytest.approx(PERIOD, rel=1e-6)
+    # Newton from a perturbed guess in the hyperplanes
+    sol = bk.newton(po.re_make(u0=X0 + 0.05),
+                    bk.NewtonPar(tol=1e-10, max_iterations=25))
+    assert bool(sol.converged)
+    # the discrete map's fixed point sits within the fixed-step RK error
+    # of the analytic orbit
+    assert float(jnp.linalg.norm(sol.u - X0)) < 1e-5
+    # monodromy multipliers at the event-driven solution: {1, exp(-2 r T)}
+    M = disc.monodromy(prob, sol.u, po.params)
+    mult = np.sort(np.abs(np.linalg.eigvals(np.asarray(M))))[::-1]
+    assert mult[0] == pytest.approx(1.0, abs=1e-5)
+    assert mult[1] == pytest.approx(np.exp(-2 * R0 * PERIOD), rel=1e-3)
+
+
 def test_poincare_shooting_newton():
     """Poincare shooting: residual ~ 0 on the exact SL orbit, Newton
     recovers the exact period (sum of return times)."""
