@@ -213,9 +213,13 @@ class ContIterable:
                 z_pred = BorderedState(
                     u=tree_axpy(dsi, state.tau.u, state.z.u),
                     p=state.z.p + dsi * state.tau.p)
+                # far predictors (i > 1) must show residual decay by factor
+                # alpha each Newton iteration or be abandoned early
+                # (ref the Multiple callback, Multiple.jl:52-65)
+                decay = self.alg.alpha if i > 1 else jnp.inf
                 z_new, cv, itn, itl, res = self.kernels.palc_corrector(
                     z_pred, state.z, state.tau, jnp.asarray(dsi),
-                    self._params())
+                    self._params(), jnp.asarray(decay))
                 if bool(cv):
                     accepted = True
                     break

@@ -101,7 +101,11 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
     # ------------------------------------------------------------------
     @jax.jit
     def palc_corrector(z_pred: BorderedState, z0: BorderedState,
-                       tau: BorderedState, ds, params):
+                       tau: BorderedState, ds, params,
+                       decay_alpha=jnp.inf):
+        """decay_alpha < inf aborts Newton early unless the residual decays
+        by that factor each iteration — the pmcont predictor-acceptance
+        criterion (ref the Multiple callback, Multiple.jl:52-65)."""
         def N_eq(u, p):
             # theta <u - z0.u, tau.u>/n + (1-theta)(p - z0.p) tau.p - ds
             du = tree_sub(u, z0.u)
@@ -117,12 +121,18 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
         rf0, rn0, r0 = full_res(z_pred.u, z_pred.p)
 
         def cond(c):
-            u, p, rf, rn, r, k, itl, ok = c
+            u, p, rf, rn, r, r_prev, k, itl, ok = c
+            decays = jnp.logical_or(
+                jnp.logical_or(k < 1, r <= nopts.tol),
+                r <= decay_alpha * r_prev)
             return jnp.logical_and(
-                jnp.logical_and(r > nopts.tol, k < nopts.max_iterations), ok)
+                jnp.logical_and(
+                    jnp.logical_and(r > nopts.tol,
+                                    k < nopts.max_iterations), ok),
+                decays)
 
         def body(c):
-            u, p, rf, rn, r, k, itl, ok = c
+            u, p, rf, rn, r, r_prev, k, itl, ok = c
             par = set_p(params, p)
             dFdp = prob.dFdp(u, par)
             J = jac(u, par)
@@ -130,16 +140,17 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
                                       theta, 1.0 - theta, dotp=dotp)
             u = tree_sub(u, du)
             p = jnp.clip(p - dp, p_min, p_max)
+            r_prev = r
             rf, rn, r = full_res(u, p)
             if callback is not None:
                 ok = callback({"x": u, "residual": rf, "residual_norm": r,
                                "p": p, "step": k + 1})
-            return u, p, rf, rn, r, k + 1, itl + itlin, ok
+            return u, p, rf, rn, r, r_prev, k + 1, itl + itlin, ok
 
-        u, p, rf, rn, r, k, itl, _ = jax.lax.while_loop(
+        u, p, rf, rn, r, _, k, itl, _ = jax.lax.while_loop(
             cond, body,
-            (z_pred.u, jnp.asarray(z_pred.p), rf0, rn0, r0, jnp.array(0),
-             jnp.array(0), jnp.array(True)))
+            (z_pred.u, jnp.asarray(z_pred.p), rf0, rn0, r0, r0,
+             jnp.array(0), jnp.array(0), jnp.array(True)))
         return (BorderedState(u=u, p=p), r <= nopts.tol, k, itl, r)
 
     # ------------------------------------------------------------------
@@ -189,6 +200,52 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
                          jnp.array(0)))
         return (BorderedState(u=u, p=p), BorderedState(u=tu, p=tp),
                 r <= nopts.tol, k, itl, r)
+
+    if isinstance(alg, MoorePenrose) and alg.method == MoorePenroseLS.pInv:
+        @jax.jit
+        def mp_corrector(z_pred: BorderedState, z0: BorderedState,  # noqa: F811
+                         tau0: BorderedState, ds, params):
+            """pInv mode: least-norm update dz = pinv([J dFdp]) @ rf and
+            tangent = theta-normalized projection of the previous tangent
+            onto null([J dFdp]) (ref MoorePenrose pInv,
+            src/continuation/MoorePenrose.jl:23-127).  Requires a flat
+            array state and a dense jacobian."""
+            def res_only(u, p):
+                par = set_p(params, p)
+                rf = prob.residual(u, par)
+                return rf, norm(rf)
+
+            rf0, r0 = res_only(z_pred.u, z_pred.p)
+
+            def cond(c):
+                u, p, tu, tp, rf, r, k, itl = c
+                return jnp.logical_and(r > nopts.tol,
+                                       k < nopts.max_iterations)
+
+            def body(c):
+                u, p, tu, tp, rf, r, k, itl = c
+                par = set_p(params, p)
+                J = jac(u, par)
+                dFdp = prob.dFdp(u, par)
+                G = jnp.concatenate([J, dFdp[:, None]], axis=1)  # (n, n+1)
+                Gp = jnp.linalg.pinv(G)
+                dz = Gp @ rf
+                u = u - dz[:-1]
+                p = jnp.clip(p - dz[-1], p_min, p_max)
+                t = jnp.concatenate([tu, jnp.asarray(tp)[None]])
+                t = t - Gp @ (G @ t)           # project onto null(G)
+                nrm = jnp.sqrt(dotp(t[:-1], t[:-1]) * theta
+                               + t[-1] ** 2 * (1.0 - theta))
+                t = t / nrm
+                rf, r = res_only(u, p)
+                return u, p, t[:-1], t[-1], rf, r, k + 1, itl + 1
+
+            u, p, tu, tp, rf, r, k, itl = jax.lax.while_loop(
+                cond, body, (z_pred.u, jnp.asarray(z_pred.p), tau0.u,
+                             jnp.asarray(tau0.p), rf0, r0, jnp.array(0),
+                             jnp.array(0)))
+            return (BorderedState(u=u, p=p), BorderedState(u=tu, p=tp),
+                    r <= nopts.tol, k, itl, r)
 
     # ------------------------------------------------------------------
     # tangents

@@ -41,8 +41,15 @@ def _map_eigen(fp, which):
 
 def period_doubling_nf(prob, x0, params, verbose: bool = False):
     """Flip normal form coefficient c: the restricted map reads
-    xi -> -xi + c xi^3; c < 0 => supercritical (stable 2-cycle)
-    (ref PeriodDoubling NF for maps, src/NormalForms.jl:1295)."""
+    xi -> -xi + c xi^3 (ref PeriodDoubling NF for maps,
+    src/NormalForms.jl:1295).
+
+    MAP convention: c > 0 => supercritical.  Second iterate
+    xi -> (1+2d)xi - 2c xi^3 for multiplier mu = -(1+d), so the 2-cycle
+    xi^2 = d/c exists (and is stable) on the unstable side d > 0 iff c > 0.
+    NOTE this is OPPOSITE to the Iooss flow-normal-form convention
+    (periodic.normal_forms.period_doubling_iooss: b3 < 0 supercritical);
+    both vanish together at a GPD point."""
     fp = _FlatProblem(prob, x0, params)
     A, lam, q, p = _map_eigen(fp, "pd")
     n = fp.n
@@ -61,7 +68,7 @@ def period_doubling_nf(prob, x0, params, verbose: bool = False):
     pt = PeriodDoubling(x0=fp.flat0, p=None, params=params, lens=prob.lens,
                         zeta=q, zeta_star=p, nf={"c": c, "mu": lam},
                         prob=prob)
-    pt.subtype = "SuperCritical" if c < 0 else "SubCritical"
+    pt.subtype = "SuperCritical" if c > 0 else "SubCritical"
     if verbose:
         print(f"PD normal form: c = {c:.6g} ({pt.subtype})")
     return pt

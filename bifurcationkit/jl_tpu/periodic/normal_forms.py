@@ -19,7 +19,204 @@ from ..core.problem import BifurcationProblem
 from ..continuation.results import Branch
 from ..detection.points import NeimarkSacker, PeriodDoubling
 from ..normal_forms.maps import neimark_sacker_nf, period_doubling_nf
+from .collocation import Collocation, legendre_matrices
 from .flow import Flow
+
+
+# ---------------------------------------------------------------------------
+# Iooss periodic-eigenbasis normal form (collocation)
+# ---------------------------------------------------------------------------
+
+
+def _coll_integral(disc: Collocation, mesh, u_nodes, v_nodes):
+    """∫_0^1 <u(t), v(t)> dt by Gauss quadrature of the node-interpolated
+    functions (ref ∫, PeriodicOrbitCollocation.jl:455-492)."""
+    L, _, _, wg = legendre_matrices(disc.m)
+    L = jnp.asarray(L)
+    wg = jnp.asarray(wg)
+    gu = jnp.einsum("li,jln->jin", L, disc.local_nodes(u_nodes))
+    gv = jnp.einsum("li,jln->jin", L, disc.local_nodes(v_nodes))
+    d = mesh[1:] - mesh[:-1]
+    return jnp.sum(wg[None, :, None] * gu * gv * (d[:, None, None] / 2.0))
+
+
+def _coll_linear_operator(disc: Collocation, prob_vf, nodes, T, mesh, params,
+                          transpose: bool = False, rho_f: float = 1.0,
+                          bc: str = "periodic"):
+    """Dense matrix of the linearized collocation operator
+    rows(w) = dL w - alpha * rho_f * J0^(T) w at the orbit's Gauss states,
+    plus n boundary rows (ref po_analytical_jacobian,
+    PeriodicOrbitCollocation.jl:646-724; _transpose/ρF options at :662-666).
+    bc: 'periodic' (w(1) - w(0) = 0) or 'antiperiodic' (w(0) + w(1) = 0,
+    the period-doubling boundary condition)."""
+    L, dL, _, _ = legendre_matrices(disc.m)
+    L = jnp.asarray(L)
+    dL = jnp.asarray(dL)
+    n = nodes.shape[1]
+    m, Ntst = disc.m, disc.Ntst
+    U = disc.local_nodes(nodes)
+    d = mesh[1:] - mesh[:-1]
+    alpha = T * d / 2.0
+
+    p = jnp.einsum("li,jln->jin", L, U)
+    Jp = jax.vmap(lambda x: prob_vf.jacobian(x, params))(
+        p.reshape(-1, n)).reshape(Ntst, m, n, n)
+    if transpose:
+        Jp = jnp.swapaxes(Jp, -1, -2)
+    eye = jnp.eye(n, dtype=nodes.dtype)
+
+    def blocks_for(Jj, aj):
+        # (m rows i) x (m+1 cols l) of n x n blocks:
+        # dL[l, i] I - alpha * rho_f * L[l, i] * J0
+        blk = (dL[:, :].T[:, :, None, None] * eye[None, None]
+               - rho_f * aj * L[:, :].T[:, :, None, None] * Jj[:, None])
+        # -> (m, m+1, n, n) -> (m*n, (m+1)*n)
+        return blk.transpose(0, 2, 1, 3).reshape(m * n, (m + 1) * n)
+
+    blocks = jax.vmap(blocks_for)(Jp, alpha)          # (Ntst, m*n, (m+1)*n)
+
+    n_tot = (Ntst * m + 1) * n
+    M = jnp.zeros((n_tot, n_tot), dtype=nodes.dtype)
+    for j in range(Ntst):
+        M = M.at[j * m * n:(j + 1) * m * n,
+                 j * m * n:(j * m + m + 1) * n].set(blocks[j])
+    # boundary rows
+    if bc == "periodic":
+        M = M.at[-n:, :n].set(-eye)
+        M = M.at[-n:, -n:].set(eye)
+    else:                       # antiperiodic / period-doubling
+        M = M.at[-n:, :n].set(eye)
+        M = M.at[-n:, -n:].set(eye)
+    return M
+
+
+def _null_bordered(M, key):
+    """Null vector of a (numerically singular) square matrix via a bordered
+    solve with refined borders (ref the extended-system kernel computation,
+    periodicorbit/NormalForms.jl:612-637)."""
+    nj = M.shape[0]
+    k1, k2 = jax.random.split(jax.random.PRNGKey(key))
+    br = jax.random.uniform(k1, (nj,), dtype=M.dtype) - 0.5
+    bl = jax.random.uniform(k2, (nj,), dtype=M.dtype) - 0.5
+    rhs = jnp.zeros(nj + 1, dtype=M.dtype).at[-1].set(1.0)
+
+    def solve(br_, bl_):
+        Mb = jnp.zeros((nj + 1, nj + 1), dtype=M.dtype)
+        Mb = Mb.at[:nj, :nj].set(M).at[:nj, -1].set(br_).at[-1, :nj].set(bl_)
+        return Mb, jnp.linalg.solve(Mb, rhs)[:nj]
+
+    Mb, k = solve(br, bl)
+    l = jnp.linalg.solve(Mb.T, rhs)[:nj]
+    k = k / jnp.linalg.norm(k)
+    l = l / jnp.linalg.norm(l)
+    # refined borders: right border spans the left null space and vice versa
+    _, v = solve(l, k)
+    return v
+
+
+def period_doubling_iooss(br_po, ind_bif: int, verbose: bool = False,
+                          detailed: bool = True):
+    """PD normal form by periodic normalization in the collocation basis
+    (Iooss form) — no flow re-integration (ref
+    period_doubling_normal_form_iooss, periodicorbit/NormalForms.jl:574-806,
+    after Kuznetsov-Govaerts-Doedel-Dhooge SIAM J. Num. Anal. 2005).
+
+    Restricted map on the center manifold: xi -> -xi + b3 xi^3 after one
+    period; b3 < 0 => supercritical PD."""
+    gamma = br_po.gamma if isinstance(br_po, Branch) else br_po
+    sp = gamma.specialpoint[ind_bif] if isinstance(ind_bif, int) else ind_bif
+    po_prob = gamma.prob
+    disc = po_prob.disc
+    if not isinstance(disc, Collocation):
+        raise TypeError("period_doubling_iooss requires Collocation")
+    prob_vf = po_prob.prob_vf
+    n = po_prob.n_vf
+    X = jnp.asarray(sp.x)
+    params_full = po_prob.set_lens_param(po_prob.params, sp.param)
+    params = params_full["_inner"]
+    mesh = params_full["_mesh"]
+    nodes, T = disc.split(X, n)
+
+    integral = lambda u, v: float(_coll_integral(disc, mesh, u, v))
+    as_nodes = lambda w: w.reshape(disc.n_nodes, n)
+
+    # v1: Floquet eigenfunction for mu = -1 (antiperiodic null function)
+    J_pd = _coll_linear_operator(disc, prob_vf, nodes, T, mesh, params,
+                                 bc="antiperiodic")
+    v1 = _null_bordered(J_pd, 0)
+    v1 = v1 / jnp.sqrt(_coll_integral(disc, mesh, as_nodes(v1),
+                                      as_nodes(v1)))
+    # adjoint eigenfunction: null of the transposed-vf operator with rho_f=-1
+    J_pd_ad = _coll_linear_operator(disc, prob_vf, nodes, T, mesh, params,
+                                    transpose=True, rho_f=-1.0,
+                                    bc="antiperiodic")
+    v1s = _null_bordered(J_pd_ad, 1)
+    v1s = v1s / (2.0 * _coll_integral(disc, mesh, as_nodes(v1s),
+                                      as_nodes(v1)))
+    if not detailed:
+        return PeriodDoubling(x0=X, p=sp.param, params=params,
+                              lens=prob_vf.lens, zeta=v1, zeta_star=v1s,
+                              nf={"a": 0.0, "b3": 0.0}, prob=po_prob)
+
+    # per-node jets along the orbit
+    Fu0 = jax.vmap(lambda x: prob_vf.F(x, params))(nodes)
+    v1n = as_nodes(v1)
+    v1sn = as_nodes(v1s)
+    Av = jax.vmap(lambda x, w: prob_vf.dF(x, params, w))(nodes, v1n)
+    Bvv = jax.vmap(lambda x, w: prob_vf.d2F(x, params, w, w))(nodes, v1n)
+    Cvvv = jax.vmap(
+        lambda x, w: prob_vf.d3F(x, params, w, w, w))(nodes, v1n)
+
+    # psi1*: periodic null function of the adjoint operator,
+    # normalized by 2 * integral(psi1*, F(u0)) = 1
+    J_psi = _coll_linear_operator(disc, prob_vf, nodes, T, mesh, params,
+                                  transpose=True, rho_f=-1.0, bc="periodic")
+    psi1s = _null_bordered(J_psi, 2)
+    psi1s = psi1s / (2.0 * _coll_integral(disc, mesh, as_nodes(psi1s), Fu0))
+    psi1sn = as_nodes(psi1s)
+
+    a1 = _coll_integral(disc, mesh, psi1sn, Bvv)
+
+    # h2 solve: [L_periodic  psi1*; grad integral(., psi1*)  0] h2 = Icoll rhs
+    rhs_nodes = Bvv - 2.0 * a1 * Fu0
+    J_h = _coll_linear_operator(disc, prob_vf, nodes, T, mesh, params,
+                                bc="periodic")
+    n_tot = J_h.shape[0]
+    border = jax.grad(lambda w: _coll_integral(
+        disc, mesh, w.reshape(disc.n_nodes, n), psi1sn))(
+        jnp.zeros(n_tot, dtype=X.dtype))
+    Mb = jnp.zeros((n_tot + 1, n_tot + 1), dtype=X.dtype)
+    Mb = Mb.at[:n_tot, :n_tot].set(J_h)
+    Mb = Mb.at[:n_tot, -1].set(psi1s)
+    Mb = Mb.at[-1, :n_tot].set(border)
+    # Icoll * rhs: dt-scaled Gauss interpolation rows + (rhs_end - rhs_0) BC
+    L, _, _, _ = legendre_matrices(disc.m)
+    L = jnp.asarray(L)
+    d = mesh[1:] - mesh[:-1]
+    g_rhs = jnp.einsum("li,jln->jin", L, disc.local_nodes(rhs_nodes)) \
+        * (d[:, None, None] / 2.0)
+    rhs_full = jnp.concatenate([
+        g_rhs.ravel(), rhs_nodes[-1] - rhs_nodes[0],
+        jnp.zeros(1, dtype=X.dtype)])
+    h2 = jnp.linalg.solve(Mb, rhs_full)[:n_tot]
+    h2n = as_nodes(h2)
+
+    Bvh = jax.vmap(lambda x, w, h: prob_vf.d2F(x, params, w, h))(
+        nodes, v1n, h2n)
+    b3 = (_coll_integral(disc, mesh, v1sn, Cvvv) / (3.0 * T)
+          + _coll_integral(disc, mesh, v1sn, Bvh)
+          - 2.0 * a1 / T * _coll_integral(disc, mesh, v1sn, Av))
+    a = a1 / T
+    pt = PeriodDoubling(x0=X, p=sp.param, params=params, lens=prob_vf.lens,
+                        zeta=v1, zeta_star=v1s,
+                        nf={"a": float(a), "b3": float(b3),
+                            "c": float(b3)}, prob=po_prob)
+    pt.period = float(T)
+    pt.subtype = "SuperCritical" if float(b3) < 0 else "SubCritical"
+    if verbose:
+        print(f"PD Iooss normal form: a = {float(a):.6g}, "
+              f"b3 = {float(b3):.6g} ({pt.subtype})")
+    return pt
 
 
 def poincare_return_map(prob_vf, x0, params, T, steps: int = 200,
@@ -173,11 +370,21 @@ def make_prm_coef_kernels(prob_vf, flow_steps: int = 120,
 
 
 def get_normal_form_po(br_po, ind_bif: int, verbose: bool = False,
-                       flow_steps: int = 300):
-    """Normal form of a PD/NS point on a periodic-orbit branch via the
-    Poincare return map (ref get_normal_form dispatch for PO branches)."""
+                       flow_steps: int = 300, method: str = "prm"):
+    """Normal form of a PD/NS point on a periodic-orbit branch.
+
+    method='prm': differentiate the Poincare return map (any discretization;
+    ref periodicorbit/NormalForms.jl:325,807).
+    method='iooss' (PD + Collocation): periodic normalization in the
+    collocation basis, no flow re-integration (ref :574; the reference's
+    default for collocation)."""
     gamma = br_po.gamma if isinstance(br_po, Branch) else br_po
     sp = gamma.specialpoint[ind_bif]
+    if method == "iooss":
+        if sp.type != "pd":
+            raise NotImplementedError("iooss route currently implements the "
+                                      "PD normal form")
+        return period_doubling_iooss(br_po, ind_bif, verbose=verbose)
     if sp.type not in ("pd", "ns", "bp"):
         raise ValueError(f"point {ind_bif} has type {sp.type!r}; expected "
                          "pd/ns/bp on a periodic-orbit branch")

@@ -133,6 +133,25 @@ def test_moore_penrose():
     assert len(folds) >= 1
 
 
+def test_moore_penrose_pinv():
+    """pInv mode (least-norm pseudo-inverse update, ref MoorePenrose.jl
+    pInv): rounds the same fold as the direct mode."""
+    from bifurcationkit.jl_tpu.continuation.algorithms import MoorePenroseLS
+
+    def F(u, par):
+        return u ** 3 - u - par["p"]
+
+    prob = bk.BifurcationProblem(F, u0=jnp.array([-1.1]),
+                                 params={"p": -0.3}, lens="p")
+    br = bk.continuation(prob, bk.MoorePenrose(method=MoorePenroseLS.pInv),
+                         _cp(detect_bifurcation=0))
+    folds = br.get_special_points("fold")
+    assert len(folds) >= 1
+    # from u = -1.1 increasing p, the first fold is at u = -1/sqrt(3),
+    # p = +2/sqrt(27)
+    assert folds[0].param == pytest.approx(2 / np.sqrt(27), abs=1e-3)
+
+
 def test_bothside():
     prob = models.pitchfork_1d(p=-0.5)
     br = bk.continuation(prob, bk.PALC(), _cp(), bothside=True)

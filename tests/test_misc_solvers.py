@@ -105,7 +105,9 @@ def test_pd_normal_form_map():
                                  lens="eps")
     pt = period_doubling_nf(prob, jnp.zeros(1), prob.params)
     assert pt.nf["c"] == pytest.approx(a, abs=1e-8)
-    assert pt.subtype == "SuperCritical"
+    # c = a = -2 < 0: the 2-cycle xi^2 = eps/c exists only where the fixed
+    # point is still stable (eps < 0) => SUBcritical flip
+    assert pt.subtype == "SubCritical"
 
 
 def test_ns_normal_form_map():

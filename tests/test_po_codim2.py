@@ -111,6 +111,24 @@ def test_po_normal_form_pd(lure_po_branch):
     assert pt.subtype in ("SuperCritical", "SubCritical")
 
 
+def test_pd_iooss_normal_form_gold(lure_po_branch):
+    """Iooss periodic-normalization PD coefficient against the reference's
+    ApproxFun-computed gold value (ref testLure.jl:121:
+    b3 = -0.30509421737255177, rtol 1e-2)."""
+    prob, br, br_po = lure_po_branch
+    pds = br_po.gamma.get_special_points("pd")
+    idx = br_po.gamma.specialpoint.index(pds[0])
+    pt = bk.get_normal_form_po(br_po, idx, method="iooss", verbose=True)
+    assert pt.nf["b3"] == pytest.approx(-0.30509421737255177, rel=1e-2)
+    assert np.isfinite(pt.nf["a"])
+    assert pt.subtype == "SuperCritical"
+    # cross-route criticality agreement: the PRM MAP coefficient has the
+    # opposite sign convention (c_map > 0 <=> supercritical)
+    pt_prm = bk.get_normal_form_po(br_po, idx)
+    assert pt_prm.nf["c"] > 0
+    assert pt_prm.subtype == "SuperCritical"
+
+
 def test_prm_coef_kernels_match_normal_form(lure_po_branch):
     """The once-jitted GPD kernel (point as arguments) must agree with the
     closure-built PRM normal form at the PD point (ref GPD test quantity,
