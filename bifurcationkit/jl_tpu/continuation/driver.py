@@ -85,7 +85,18 @@ def _continuation_loop(it: ContIterable, x0=None, params=None) -> ContResult:
                     is_floquet=getattr(it.kernels, "is_floquet", False))
                 if known and sp is not None:
                     sp.printsol = it.record(state)
-                    res.specialpoint.append(sp)
+                    # suppress re-detections of the SAME crossing: near a
+                    # degenerate point a borderline eigenvalue can flicker
+                    # across tol_stability for several steps, re-reporting
+                    # one bifurcation many times (e.g. the double +1
+                    # multiplier at a PO branch point)
+                    dup = any(
+                        prev.type == sp.type
+                        and abs(prev.param - sp.param) < 1e-6
+                        and sp.step - prev.step <= 4
+                        for prev in res.specialpoint)
+                    if not dup:
+                        res.specialpoint.append(sp)
 
             # ---- events -------------------------------------------------
             if it.event is not None and cp.detect_event > 0 and \

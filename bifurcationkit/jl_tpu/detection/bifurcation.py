@@ -51,7 +51,14 @@ def locate_fold(res, it, state) -> bool:
         precision=-1.0,
         interval=(float(min(p2, p3)), float(max(p2, p3))),
     )
-    res.specialpoint.append(sp)
+    # suppress re-detection of the same fold when the branch stalls and the
+    # parameter oscillates around the turning point for several steps
+    dup = any(prev.type == "fold"
+              and abs(prev.param - sp.param) < 1e-6
+              and sp.step - prev.step <= 4
+              for prev in res.specialpoint)
+    if not dup:
+        res.specialpoint.append(sp)
     return True
 
 

@@ -145,6 +145,32 @@ def lure(alpha: float = -1.0, beta: float = 1.0):
                               lens="alpha")
 
 
+def freire(nu: float = -0.9, beta: float = 0.5, gamma: float = -0.6,
+           a3: float = 0.328578, b3: float = 0.933578, r: float = 0.6):
+    """Freire electronic oscillator (ref test/periodic_orbits_bp_po/
+    freire.jl:5-19): the reference's fixture for BRANCH POINTS of periodic
+    orbits (two BPs on the PO branch from the first Hopf; the switched
+    branch carries NS and PD points).  Continued in nu."""
+
+    def F(u, par):
+        x, y, z = u[0], u[1], u[2]
+        d = y - x
+        d3 = d ** 3
+        return jnp.array([
+            (-(par["beta"] + par["nu"]) * x + par["beta"] * y
+             - par["a3"] * x ** 3 + par["b3"] * d3) / par["r"],
+            par["beta"] * x - (par["beta"] + par["gamma"]) * y - z
+            - par["b3"] * d3,
+            y,
+        ])
+
+    return BifurcationProblem(
+        F, u0=jnp.zeros(3),
+        params={"nu": nu, "beta": beta, "gamma": gamma, "a3": a3,
+                "b3": b3, "r": r},
+        lens="nu")
+
+
 def brusselator_1d(n: int = 100, alpha: float = 2.0, beta: float = 5.45,
                    D1: float = 0.008, D2: float = 0.004, l: float = 0.3):
     """1D Brusselator reaction-diffusion (ref examples/brusselator.jl:26-49,

@@ -170,14 +170,17 @@ def _po_codim3_event(po_prob, split, kind: str, flow_steps: int,
 
     GPD/CH are normal-form coefficients of the Poincare return map,
     evaluated by once-jitted PRM kernels (point as arguments)."""
-    from .normal_forms import make_prm_coef_kernels
+    from .normal_forms import _pd_iooss_core, make_prm_coef_kernels
 
     prob_vf = po_prob.prob_vf
     disc = po_prob.disc
     n = po_prob.n_vf
     inner_lens = as_lens(prob_vf.lens)
+    # collocation: GPD via the Iooss periodic normalization (the reference's
+    # default, no flow re-integration); other discretizations: PRM kernels
+    use_iooss = isinstance(disc, Collocation) and kind == "pd"
     kernels = make_prm_coef_kernels(prob_vf, flow_steps=flow_steps) \
-        if compute_nf else None
+        if (compute_nf and not use_iooss) else None
 
     def _point(it, state):
         par = it.current_params
@@ -222,7 +225,11 @@ def _po_codim3_event(po_prob, split, kind: str, flow_steps: int,
             w = w / jnp.linalg.norm(w)
             r2 = float(jnp.real(jnp.vdot(w, v)))
             cp = float(state.tau.p)
-            if compute_nf:
+            if compute_nf and use_iooss:
+                gpd = _pd_iooss_core(disc, prob_vf, n, X,
+                                     po_par["_inner"],
+                                     po_par["_mesh"])["b3"]
+            elif compute_nf:
                 _, _, q, p = _prm_eig(x0, T, po_par["_inner"], "pd")
                 gpd = float(kernels[1](x0, T, po_par["_inner"],
                                        jnp.asarray(q), jnp.asarray(p)))

@@ -114,27 +114,10 @@ def _null_bordered(M, key):
     return v
 
 
-def period_doubling_iooss(br_po, ind_bif: int, verbose: bool = False,
-                          detailed: bool = True):
-    """PD normal form by periodic normalization in the collocation basis
-    (Iooss form) — no flow re-integration (ref
-    period_doubling_normal_form_iooss, periodicorbit/NormalForms.jl:574-806,
-    after Kuznetsov-Govaerts-Doedel-Dhooge SIAM J. Num. Anal. 2005).
-
-    Restricted map on the center manifold: xi -> -xi + b3 xi^3 after one
-    period; b3 < 0 => supercritical PD."""
-    gamma = br_po.gamma if isinstance(br_po, Branch) else br_po
-    sp = gamma.specialpoint[ind_bif] if isinstance(ind_bif, int) else ind_bif
-    po_prob = gamma.prob
-    disc = po_prob.disc
-    if not isinstance(disc, Collocation):
-        raise TypeError("period_doubling_iooss requires Collocation")
-    prob_vf = po_prob.prob_vf
-    n = po_prob.n_vf
-    X = jnp.asarray(sp.x)
-    params_full = po_prob.set_lens_param(po_prob.params, sp.param)
-    params = params_full["_inner"]
-    mesh = params_full["_mesh"]
+def _pd_iooss_core(disc: Collocation, prob_vf, n: int, X, params, mesh,
+                   detailed: bool = True):
+    """Core of the Iooss PD normalization at one orbit point; returns a
+    dict with a, b3, eigenfunctions (see period_doubling_iooss)."""
     nodes, T = disc.split(X, n)
 
     integral = lambda u, v: float(_coll_integral(disc, mesh, u, v))
@@ -154,9 +137,7 @@ def period_doubling_iooss(br_po, ind_bif: int, verbose: bool = False,
     v1s = v1s / (2.0 * _coll_integral(disc, mesh, as_nodes(v1s),
                                       as_nodes(v1)))
     if not detailed:
-        return PeriodDoubling(x0=X, p=sp.param, params=params,
-                              lens=prob_vf.lens, zeta=v1, zeta_star=v1s,
-                              nf={"a": 0.0, "b3": 0.0}, prob=po_prob)
+        return {"a": 0.0, "b3": 0.0, "v1": v1, "v1s": v1s, "T": float(T)}
 
     # per-node jets along the orbit
     Fu0 = jax.vmap(lambda x: prob_vf.F(x, params))(nodes)
@@ -206,16 +187,42 @@ def period_doubling_iooss(br_po, ind_bif: int, verbose: bool = False,
     b3 = (_coll_integral(disc, mesh, v1sn, Cvvv) / (3.0 * T)
           + _coll_integral(disc, mesh, v1sn, Bvh)
           - 2.0 * a1 / T * _coll_integral(disc, mesh, v1sn, Av))
-    a = a1 / T
-    pt = PeriodDoubling(x0=X, p=sp.param, params=params, lens=prob_vf.lens,
-                        zeta=v1, zeta_star=v1s,
-                        nf={"a": float(a), "b3": float(b3),
-                            "c": float(b3)}, prob=po_prob)
-    pt.period = float(T)
-    pt.subtype = "SuperCritical" if float(b3) < 0 else "SubCritical"
+    return {"a": float(a1 / T), "b3": float(b3), "v1": v1, "v1s": v1s,
+            "T": float(T)}
+
+
+def period_doubling_iooss(br_po, ind_bif: int, verbose: bool = False,
+                          detailed: bool = True):
+    """PD normal form by periodic normalization in the collocation basis
+    (Iooss form) — no flow re-integration (ref
+    period_doubling_normal_form_iooss, periodicorbit/NormalForms.jl:574-806,
+    after Kuznetsov-Govaerts-Doedel-Dhooge SIAM J. Num. Anal. 2005).
+
+    Restricted return map on the center manifold: xi -> -xi + b3 xi^3 per
+    period in the periodic frame; FLOW convention: b3 < 0 => supercritical
+    (opposite sign to the PRM map coefficient; both vanish at GPD)."""
+    gamma = br_po.gamma if isinstance(br_po, Branch) else br_po
+    sp = gamma.specialpoint[ind_bif] if isinstance(ind_bif, int) else ind_bif
+    po_prob = gamma.prob
+    disc = po_prob.disc
+    if not isinstance(disc, Collocation):
+        raise TypeError("period_doubling_iooss requires Collocation")
+    prob_vf = po_prob.prob_vf
+    n = po_prob.n_vf
+    X = jnp.asarray(sp.x)
+    params_full = po_prob.set_lens_param(po_prob.params, sp.param)
+    out = _pd_iooss_core(disc, prob_vf, n, X, params_full["_inner"],
+                         params_full["_mesh"], detailed=detailed)
+    pt = PeriodDoubling(x0=X, p=sp.param, params=params_full["_inner"],
+                        lens=prob_vf.lens, zeta=out["v1"],
+                        zeta_star=out["v1s"],
+                        nf={"a": out["a"], "b3": out["b3"],
+                            "c": out["b3"]}, prob=po_prob)
+    pt.period = out["T"]
+    pt.subtype = "SuperCritical" if out["b3"] < 0 else "SubCritical"
     if verbose:
-        print(f"PD Iooss normal form: a = {float(a):.6g}, "
-              f"b3 = {float(b3):.6g} ({pt.subtype})")
+        print(f"PD Iooss normal form: a = {out['a']:.6g}, "
+              f"b3 = {out['b3']:.6g} ({pt.subtype})")
     return pt
 
 
@@ -409,6 +416,27 @@ def get_normal_form_po(br_po, ind_bif: int, verbose: bool = False,
         pt.p = sp.param
         pt.period = T
         return pt
-    # bp of PO: treat via the return map's fold/branch structure
-    raise NotImplementedError("PO branch-point normal form: use the PRM "
-                              "fold machinery (round 2)")
+    # bp of PO: Lyapunov-Schmidt on the fixed-point problem of the return
+    # map, Phi(y, p) = P(y, p) - y (ref branch_normal_form,
+    # periodicorbit/NormalForms.jl:60-92, here with the full 1d-kernel
+    # coefficient set rather than the eigenfunction-only generic path)
+    from types import SimpleNamespace
+
+    from ..detection.points import SpecialPoint
+    from ..normal_forms.codim1 import get_normal_form1d
+
+    def Phi(y, par):
+        return map_prob.F(y, par) - y
+
+    phi_prob = BifurcationProblem(Phi, u0=y0, params=params,
+                                  lens=prob_vf.lens)
+    L = jax.jacfwd(lambda y: Phi(y, params))(y0)
+    vals, vecs = np.linalg.eig(np.asarray(L))
+    ind = int(np.argmin(np.abs(vals)))
+    sp2 = SpecialPoint(type="bp", param=sp.param, x=np.asarray(y0),
+                       ind_ev=ind + 1, eigenvals=vals, eigenvecs=vecs)
+    pt = get_normal_form1d(phi_prob, SimpleNamespace(specialpoint=[sp2],
+                                                     prob=None),
+                           0, verbose=verbose)
+    pt.period = T
+    return pt
