@@ -47,7 +47,8 @@ from .periodic import (Collocation, Flow, FloquetEig, PoincareShooting,
 from .periodic.codim2 import (continuation_fold_po, continuation_ns,
                               bp_po_branch_switch, continuation_pd,
                               pd_branch_switch, po_codim2_test_values)
-from .periodic.normal_forms import (get_normal_form_po, period_doubling_iooss,
+from .periodic.normal_forms import (get_normal_form_po, neimark_sacker_iooss,
+                                    period_doubling_iooss,
                                     poincare_return_map)
 from .periodic.cop import COPLS, collocation_block_jacobian, cop_solve
 from .periodic import FloquetGEV, get_periodic_orbit

@@ -76,11 +76,16 @@ def zh_normal_form(prob, x0, params, verbose: bool = False):
 
 
 def hh_normal_form(prob, x0, params, verbose: bool = False):
-    """Cubic HH coefficients (ref HH NF, src/codim2/NormalForms.jl:1315).
+    """Cubic HH coefficients (ref HH NF, src/codim2/NormalForms.jl:1315):
+    z1' = i w1 z1 + z1 (G2100 |z1|^2 + G1011 |z2|^2) + ...
+    z2' = i w2 z2 + z2 (G1110 |z1|^2 + G0021 |z2|^2) + ...
+    in the basis with ||q_k|| = 1, <p_k, q_k> = 1 and w1 < w2.
 
-    EXPERIMENTAL: the h-solves are correct but the resonant-projection
-    multiplicity conventions are not yet validated against gold values
-    (the G's come out convention-scaled); treat signs/ratios with care."""
+    Individual G's rescale with the eigenvector amplitudes (the reference's
+    gold asserts are commented out for the same reason, testNF.jl:690-693);
+    the Kuznetsov classification invariants are basis-free and validated on
+    the constructed normal form: delta = Re G1110 / Re G2100,
+    theta = Re G1011 / Re G0021, and the signs of Re G2100, Re G0021."""
     fp = _FlatProblem(prob, x0, params)
     A = fp.jacobian()
     n = fp.n
@@ -88,8 +93,11 @@ def hh_normal_form(prob, x0, params, verbose: bool = False):
     cand = vals[vals.imag > 1e-8]
     if len(cand) < 2:
         raise RuntimeError("need two Hopf pairs at an HH candidate")
-    order = np.argsort(np.abs(cand.real))
-    lam1, lam2 = cand[order[0]], cand[order[1]]
+    # the two pairs closest to the imaginary axis, ordered w1 < w2
+    order = np.argsort(np.abs(cand.real))[:2]
+    pair = cand[order]
+    pair = pair[np.argsort(pair.imag)]
+    lam1, lam2 = pair[0], pair[1]
     if abs(lam1.imag - lam2.imag) < 1e-10:
         raise RuntimeError("the two Hopf pairs coincide")
     _, q1, p1 = _pair(A.astype(jnp.complex128), lam1)

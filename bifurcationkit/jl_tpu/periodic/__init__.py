@@ -7,7 +7,8 @@ from .shooting import PoincareShooting, Shooting
 from .trapezoid import Trapeze
 from .codim2 import (continuation_fold_po, continuation_ns, continuation_pd,
                      pd_branch_switch)
-from .normal_forms import (get_normal_form_po, period_doubling_iooss,
+from .normal_forms import (get_normal_form_po, neimark_sacker_iooss,
+                           period_doubling_iooss,
                            poincare_return_map)
 from .cop import COPLS, COPBlocks, collocation_block_jacobian, cop_solve
 from .floquet import FloquetGEV

@@ -170,15 +170,17 @@ def _po_codim3_event(po_prob, split, kind: str, flow_steps: int,
 
     GPD/CH are normal-form coefficients of the Poincare return map,
     evaluated by once-jitted PRM kernels (point as arguments)."""
-    from .normal_forms import _pd_iooss_core, make_prm_coef_kernels
+    from .normal_forms import (_ns_iooss_core, _pd_iooss_core,
+                               make_prm_coef_kernels)
 
     prob_vf = po_prob.prob_vf
     disc = po_prob.disc
     n = po_prob.n_vf
     inner_lens = as_lens(prob_vf.lens)
-    # collocation: GPD via the Iooss periodic normalization (the reference's
-    # default, no flow re-integration); other discretizations: PRM kernels
-    use_iooss = isinstance(disc, Collocation) and kind == "pd"
+    # collocation: GPD/CH via the Iooss periodic normalization (the
+    # reference's default, no flow re-integration); other discretizations:
+    # PRM kernels
+    use_iooss = isinstance(disc, Collocation) and kind in ("pd", "ns")
     kernels = make_prm_coef_kernels(prob_vf, flow_steps=flow_steps) \
         if (compute_nf and not use_iooss) else None
 
@@ -245,7 +247,10 @@ def _po_codim3_event(po_prob, split, kind: str, flow_steps: int,
             X, po_par, x0, T, theta, par = _point(it, state)
             th = float(theta)
             c = np.cos(th)
-            if compute_nf:
+            if compute_nf and use_iooss:
+                ch = _ns_iooss_core(disc, prob_vf, n, X, po_par["_inner"],
+                                    po_par["_mesh"], abs(th))["d"].real
+            elif compute_nf:
                 _, lam, q, p = _prm_eig(x0, T, po_par["_inner"], "ns")
                 if q is None:
                     ch = 1.0

@@ -30,23 +30,26 @@ from .flow import Flow
 
 def _coll_integral(disc: Collocation, mesh, u_nodes, v_nodes):
     """∫_0^1 <u(t), v(t)> dt by Gauss quadrature of the node-interpolated
-    functions (ref ∫, PeriodicOrbitCollocation.jl:455-492)."""
+    functions, conjugating the first argument (LA.dot convention; ref ∫,
+    PeriodicOrbitCollocation.jl:455-492)."""
     L, _, _, wg = legendre_matrices(disc.m)
     L = jnp.asarray(L)
     wg = jnp.asarray(wg)
     gu = jnp.einsum("li,jln->jin", L, disc.local_nodes(u_nodes))
     gv = jnp.einsum("li,jln->jin", L, disc.local_nodes(v_nodes))
     d = mesh[1:] - mesh[:-1]
-    return jnp.sum(wg[None, :, None] * gu * gv * (d[:, None, None] / 2.0))
+    return jnp.sum(wg[None, :, None] * jnp.conj(gu) * gv
+                   * (d[:, None, None] / 2.0))
 
 
 def _coll_linear_operator(disc: Collocation, prob_vf, nodes, T, mesh, params,
                           transpose: bool = False, rho_f: float = 1.0,
-                          bc: str = "periodic"):
+                          rho_i: complex = 0.0, bc: str = "periodic"):
     """Dense matrix of the linearized collocation operator
-    rows(w) = dL w - alpha * rho_f * J0^(T) w at the orbit's Gauss states,
-    plus n boundary rows (ref po_analytical_jacobian,
-    PeriodicOrbitCollocation.jl:646-724; _transpose/ρF options at :662-666).
+    rows(w) = dL w - alpha (rho_f J0^(T) + rho_i I) w at the orbit's Gauss
+    states, plus n boundary rows (ref po_analytical_jacobian,
+    PeriodicOrbitCollocation.jl:646-724; _transpose/ρF/ρI options at
+    :662-666; rho_i = -i*theta/T gives the Neimark-Sacker shift).
     bc: 'periodic' (w(1) - w(0) = 0) or 'antiperiodic' (w(0) + w(1) = 0,
     the period-doubling boundary condition)."""
     L, dL, _, _ = legendre_matrices(disc.m)
@@ -63,20 +66,25 @@ def _coll_linear_operator(disc: Collocation, prob_vf, nodes, T, mesh, params,
         p.reshape(-1, n)).reshape(Ntst, m, n, n)
     if transpose:
         Jp = jnp.swapaxes(Jp, -1, -2)
-    eye = jnp.eye(n, dtype=nodes.dtype)
+    dtype = jnp.complex128 if (jnp.iscomplexobj(jnp.asarray(rho_i))
+                               and jnp.any(jnp.imag(jnp.asarray(rho_i))
+                                           != 0)) else nodes.dtype
+    Jp = Jp.astype(dtype)
+    eye = jnp.eye(n, dtype=dtype)
 
     def blocks_for(Jj, aj):
         # (m rows i) x (m+1 cols l) of n x n blocks:
-        # dL[l, i] I - alpha * rho_f * L[l, i] * J0
+        # dL[l, i] I - alpha L[l, i] (rho_f J0 + rho_i I)
+        shifted = rho_f * Jj + rho_i * eye[None]
         blk = (dL[:, :].T[:, :, None, None] * eye[None, None]
-               - rho_f * aj * L[:, :].T[:, :, None, None] * Jj[:, None])
+               - aj * L[:, :].T[:, :, None, None] * shifted[:, None])
         # -> (m, m+1, n, n) -> (m*n, (m+1)*n)
         return blk.transpose(0, 2, 1, 3).reshape(m * n, (m + 1) * n)
 
     blocks = jax.vmap(blocks_for)(Jp, alpha)          # (Ntst, m*n, (m+1)*n)
 
     n_tot = (Ntst * m + 1) * n
-    M = jnp.zeros((n_tot, n_tot), dtype=nodes.dtype)
+    M = jnp.zeros((n_tot, n_tot), dtype=dtype)
     for j in range(Ntst):
         M = M.at[j * m * n:(j + 1) * m * n,
                  j * m * n:(j * m + m + 1) * n].set(blocks[j])
@@ -96,8 +104,10 @@ def _null_bordered(M, key):
     periodicorbit/NormalForms.jl:612-637)."""
     nj = M.shape[0]
     k1, k2 = jax.random.split(jax.random.PRNGKey(key))
-    br = jax.random.uniform(k1, (nj,), dtype=M.dtype) - 0.5
-    bl = jax.random.uniform(k2, (nj,), dtype=M.dtype) - 0.5
+    fdt = jnp.float64 if M.dtype in (jnp.float64, jnp.complex128) \
+        else jnp.float32
+    br = (jax.random.uniform(k1, (nj,), dtype=fdt) - 0.5).astype(M.dtype)
+    bl = (jax.random.uniform(k2, (nj,), dtype=fdt) - 0.5).astype(M.dtype)
     rhs = jnp.zeros(nj + 1, dtype=M.dtype).at[-1].set(1.0)
 
     def solve(br_, bl_):
@@ -106,7 +116,7 @@ def _null_bordered(M, key):
         return Mb, jnp.linalg.solve(Mb, rhs)[:nj]
 
     Mb, k = solve(br, bl)
-    l = jnp.linalg.solve(Mb.T, rhs)[:nj]
+    l = jnp.linalg.solve(jnp.conj(Mb).T, rhs)[:nj]
     k = k / jnp.linalg.norm(k)
     l = l / jnp.linalg.norm(l)
     # refined borders: right border spans the left null space and vice versa
@@ -189,6 +199,145 @@ def _pd_iooss_core(disc: Collocation, prob_vf, n: int, X, params, mesh,
           - 2.0 * a1 / T * _coll_integral(disc, mesh, v1sn, Av))
     return {"a": float(a1 / T), "b3": float(b3), "v1": v1, "v1s": v1s,
             "T": float(T)}
+
+
+def _ns_iooss_core(disc: Collocation, prob_vf, n: int, X, params, mesh,
+                   theta: float):
+    """Core of the Iooss NS normalization at one orbit point (see
+    neimark_sacker_iooss); theta = NS multiplier angle."""
+    nodes, T = disc.split(X, n)
+    as_nodes = lambda w: w.reshape(disc.n_nodes, n)
+    integ = lambda u, v: complex(_coll_integral(disc, mesh, u, v))
+
+    # v1: periodic part of the NS Floquet eigenfunction,
+    # null of D - T A + i theta (ref :1038-1062)
+    rho = complex(0.0, -theta / float(T))
+    J_ns = _coll_linear_operator(disc, prob_vf, nodes, T, mesh, params,
+                                 rho_i=rho, bc="periodic")
+    v1 = _null_bordered(J_ns, 0)
+    v1 = v1 / jnp.sqrt(jnp.real(_coll_integral(disc, mesh, as_nodes(v1),
+                                               as_nodes(v1))))
+    v1n = as_nodes(v1)
+
+    # phi1*: real periodic null of the adjoint, <phi1*, F(u0)> = 1
+    J_phi = _coll_linear_operator(disc, prob_vf, nodes, T, mesh, params,
+                                  transpose=True, rho_f=-1.0, bc="periodic")
+    phi1s = _null_bordered(J_phi, 1)
+    Fu0 = jax.vmap(lambda x: prob_vf.F(x, params))(nodes)
+    phi1s = phi1s / jnp.real(_coll_integral(disc, mesh, as_nodes(phi1s),
+                                            Fu0))
+    phi1sn = as_nodes(phi1s)
+
+    # a1 = <phi1*, B(v1, conj v1)> (real)
+    Bvvb = jax.vmap(lambda x, a, b: prob_vf.d2F_complex(x, params, a, b))(
+        nodes, v1n, jnp.conj(v1n))
+    a1 = float(np.real(integ(phi1sn, Bvvb)))
+
+    # v1*: null of the adjoint with the NS shift, <v1*, v1> = 1
+    J_nsad = _coll_linear_operator(disc, prob_vf, nodes, T, mesh, params,
+                                   transpose=True, rho_f=-1.0, rho_i=rho,
+                                   bc="periodic")
+    v1s = _null_bordered(J_nsad, 2)
+    v1s = v1s / jnp.conj(_coll_integral(disc, mesh, as_nodes(v1s), v1n))
+    v1sn = as_nodes(v1s)
+
+    # weak-form rhs helper: Icoll * g (dt-scaled Gauss rows + BC rows)
+    L, _, _, _ = legendre_matrices(disc.m)
+    L = jnp.asarray(L)
+    d = mesh[1:] - mesh[:-1]
+
+    def icoll_rhs(g_nodes, tail=None):
+        gg = jnp.einsum("li,jln->jin", L, disc.local_nodes(g_nodes)) \
+            * (d[:, None, None] / 2.0)
+        parts = [gg.ravel(), g_nodes[-1] - g_nodes[0]]
+        if tail is not None:
+            parts.append(tail)
+        return jnp.concatenate(parts)
+
+    # h20: (D - T A + 2 i theta) h = B(v1, v1), periodic (nonsingular)
+    Bvv = jax.vmap(lambda x, a: prob_vf.d2F_complex(x, params, a, a))(
+        nodes, v1n)
+    J_20 = _coll_linear_operator(disc, prob_vf, nodes, T, mesh, params,
+                                 rho_i=2 * rho, bc="periodic")
+    h20 = jnp.linalg.solve(J_20, icoll_rhs(Bvv))
+    h20n = as_nodes(h20)
+
+    # h11: bordered solve with the integral condition <phi1*, h11> = 0
+    rhs11 = Bvvb - a1 * Fu0.astype(Bvvb.dtype)
+    J_h = _coll_linear_operator(disc, prob_vf, nodes, T, mesh, params,
+                                bc="periodic").astype(jnp.complex128)
+    n_tot = J_h.shape[0]
+    border = jax.grad(lambda w: jnp.real(_coll_integral(
+        disc, mesh, w.reshape(disc.n_nodes, n), phi1sn)))(
+        jnp.zeros(n_tot, dtype=X.dtype))
+    Mb = jnp.zeros((n_tot + 1, n_tot + 1), dtype=jnp.complex128)
+    Mb = Mb.at[:n_tot, :n_tot].set(J_h)
+    Mb = Mb.at[:n_tot, -1].set(phi1s.astype(jnp.complex128))
+    Mb = Mb.at[-1, :n_tot].set(border.astype(jnp.complex128))
+    h11 = jnp.linalg.solve(Mb, icoll_rhs(rhs11,
+                                         jnp.zeros(1, jnp.complex128)))
+    h11n = as_nodes(h11[:n_tot])
+
+    # d coefficient (ref :1180-1199)
+    Cvvvb = jax.vmap(
+        lambda x, a, b: prob_vf.d3F_complex(x, params, a, a, b))(
+        nodes, v1n, jnp.conj(v1n))
+    Bh11v = jax.vmap(lambda x, a, b: prob_vf.d2F_complex(x, params, a, b))(
+        nodes, h11n, v1n)
+    Bh20vb = jax.vmap(lambda x, a, b: prob_vf.d2F_complex(x, params, a, b))(
+        nodes, h20n, jnp.conj(v1n))
+    Av = jax.vmap(lambda x, w: prob_vf.dF(x, params, jnp.real(w))
+                  + 1j * prob_vf.dF(x, params, jnp.imag(w)))(nodes, v1n)
+    Tf = float(T)
+    dcoef = (integ(v1sn, Cvvvb) / Tf + 2.0 * integ(v1sn, Bh11v)
+             + integ(v1sn, Bh20vb)) / 2.0
+    dcoef += -a1 / Tf * integ(v1sn, Av) + 1j * theta * a1 / Tf ** 2
+    return {"a": a1, "d": complex(dcoef), "v1": v1, "v1s": v1s,
+            "T": Tf, "theta": theta}
+
+
+def neimark_sacker_iooss(br_po, ind_bif: int, verbose: bool = False):
+    """NS normal form by periodic normalization in the collocation basis
+    (ref neimark_sacker_normal_form_iooss,
+    periodicorbit/NormalForms.jl:1004-1204, after
+    Kuznetsov-Govaerts-Doedel-Dhooge 2005): Re d < 0 => supercritical.
+
+    The reference's ad-hoc `2Ntst` rescalings of h11/h20 are replaced by the
+    consistent weak-form rhs scaling (Icoll = dt-weighted Gauss
+    interpolation), which also handles non-uniform meshes."""
+    gamma = br_po.gamma if isinstance(br_po, Branch) else br_po
+    sp = gamma.specialpoint[ind_bif] if isinstance(ind_bif, int) else ind_bif
+    po_prob = gamma.prob
+    disc = po_prob.disc
+    if not isinstance(disc, Collocation):
+        raise TypeError("neimark_sacker_iooss requires Collocation")
+    prob_vf = po_prob.prob_vf
+    n = po_prob.n_vf
+    X = jnp.asarray(sp.x)
+    params_full = po_prob.set_lens_param(po_prob.params, sp.param)
+
+    # NS multiplier angle from the monodromy
+    from ..linalg.eig import dense_eig
+
+    mult = np.asarray(dense_eig(disc.monodromy(prob_vf, X, params_full))[0])
+    cand = np.where(mult.imag > 1e-8)[0]
+    if len(cand) == 0:
+        raise RuntimeError("no complex Floquet multiplier found for NS")
+    i0 = cand[np.argmin(np.abs(np.abs(mult[cand]) - 1.0))]
+    theta = abs(float(np.angle(mult[i0])))
+
+    out = _ns_iooss_core(disc, prob_vf, n, X, params_full["_inner"],
+                         params_full["_mesh"], theta)
+    pt = NeimarkSacker(x0=X, p=sp.param, params=params_full["_inner"],
+                       lens=prob_vf.lens, zeta=out["v1"],
+                       zeta_star=out["v1s"], omega=theta,
+                       nf={"a": out["a"], "d": out["d"]}, prob=po_prob)
+    pt.period = out["T"]
+    pt.subtype = "SuperCritical" if out["d"].real < 0 else "SubCritical"
+    if verbose:
+        print(f"NS Iooss normal form: a = {out['a']:.6g}, "
+              f"d = {out['d']:.6g} theta = {theta:.6g} ({pt.subtype})")
+    return pt
 
 
 def period_doubling_iooss(br_po, ind_bif: int, verbose: bool = False,
@@ -388,10 +537,11 @@ def get_normal_form_po(br_po, ind_bif: int, verbose: bool = False,
     gamma = br_po.gamma if isinstance(br_po, Branch) else br_po
     sp = gamma.specialpoint[ind_bif]
     if method == "iooss":
-        if sp.type != "pd":
-            raise NotImplementedError("iooss route currently implements the "
-                                      "PD normal form")
-        return period_doubling_iooss(br_po, ind_bif, verbose=verbose)
+        if sp.type == "pd":
+            return period_doubling_iooss(br_po, ind_bif, verbose=verbose)
+        if sp.type == "ns":
+            return neimark_sacker_iooss(br_po, ind_bif, verbose=verbose)
+        raise NotImplementedError("iooss route implements PD and NS")
     if sp.type not in ("pd", "ns", "bp"):
         raise ValueError(f"point {ind_bif} has type {sp.type!r}; expected "
                          "pd/ns/bp on a periodic-orbit branch")

@@ -59,9 +59,8 @@ def test_freire_bp_normal_form(freire_po_branch):
     assert np.isfinite(pt.nf["b30"])
 
 
-def test_freire_bp_branch_switch_ns_pd(freire_po_branch):
-    """aBS at the second BP: the switched branch carries an NS then a PD
-    point (ref freire.jl:61-62 hard assertions)."""
+@pytest.fixture(scope="module")
+def freire_switched_branch(freire_po_branch):
     prob, br, br_po = freire_po_branch
     sps = br_po.gamma.specialpoint
     bp2 = [b for b in br_po.gamma.get_special_points("bp")
@@ -71,8 +70,14 @@ def test_freire_bp_branch_switch_ns_pd(freire_po_branch):
                              nev=4, n_inversion=6, tol_stability=1e-4,
                              newton_options=bk.NewtonPar(tol=1e-8,
                                                          max_iterations=30))
-    br2 = bk.bp_po_branch_switch(br_po, sps.index(bp2), cp2,
-                                 ampfactor=0.01, delta_p=-0.001)
+    return bk.bp_po_branch_switch(br_po, sps.index(bp2), cp2,
+                                  ampfactor=0.01, delta_p=-0.001)
+
+
+def test_freire_bp_branch_switch_ns_pd(freire_switched_branch):
+    """aBS at the second BP: the switched branch carries an NS then a PD
+    point (ref freire.jl:61-62 hard assertions)."""
+    br2 = freire_switched_branch
     types = [s.type for s in br2.gamma.specialpoint if s.type != "endpoint"]
     assert "ns" in types and "pd" in types
     ns = br2.gamma.get_special_points("ns")[0]
@@ -84,3 +89,19 @@ def test_freire_bp_branch_switch_ns_pd(freire_po_branch):
     pt = bk.get_normal_form_po(br2, br2.gamma.specialpoint.index(pd),
                                method="iooss")
     assert pt.subtype == "SuperCritical"
+
+
+def test_freire_ns_iooss_normal_form(freire_switched_branch):
+    """NS normal form by Iooss periodic normalization: subcritical
+    (ref freire.jl:65-66, ns SubCritical with Re b > 0), and the PRM route
+    agrees on criticality."""
+    br2 = freire_switched_branch
+    ns = br2.gamma.get_special_points("ns")[0]
+    idx = br2.gamma.specialpoint.index(ns)
+    pt = bk.neimark_sacker_iooss(br2, idx, verbose=True)
+    assert pt.subtype == "SubCritical"
+    assert pt.nf["d"].real > 0
+    assert np.isfinite(pt.nf["a"])
+    assert 0 < pt.omega < np.pi
+    pt_prm = bk.get_normal_form_po(br2, idx)
+    assert pt_prm.subtype == "SubCritical"

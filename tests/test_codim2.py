@@ -281,3 +281,41 @@ def test_zh_normal_form_coefficients():
     assert pt.nf["G011"] == pytest.approx(2 * b, abs=1e-10)
     assert pt.nf["G110"] == pytest.approx(c, abs=1e-10)
     assert pt.omega == pytest.approx(w, abs=1e-10)
+
+
+def test_hh_normal_form_invariants():
+    """HH coefficients on the constructed normal form (ref the testNF.jl
+    Fhh model, :651-671, with polynomial |w|^2): individual G's depend on
+    the eigenvector scale, but the Kuznetsov classification invariants
+    delta = Re G1110 / Re G2100 and theta = Re G1011 / Re G0021 are exact,
+    as are the criticality signs."""
+    g2100, g1011, g1110, g0021 = 1.0, 2.0, 6.0, 7.0   # model coefficients
+    w1, w2 = 0.1, 0.3
+
+    def F(u, par):
+        z1 = u[0] + 1j * u[1]
+        z2 = u[2] + 1j * u[3]
+        ua1 = u[0] ** 2 + u[1] ** 2
+        ua2 = u[2] ** 2 + u[3] ** 2
+        t1 = (par["b1"] + 1j * w1) * z1 + g2100 / 2 * z1 * ua1 \
+            + g1011 * z1 * ua2
+        t2 = (par["b2"] + 1j * w2) * z2 + g1110 * z2 * ua1 \
+            + g0021 / 2 * z2 * ua2
+        return jnp.array([jnp.real(t1), jnp.imag(t1),
+                          jnp.real(t2), jnp.imag(t2)])
+
+    prob = bk.BifurcationProblem(F, u0=jnp.zeros(4),
+                                 params={"b1": 0.0, "b2": 0.0}, lens="b1")
+    pt = bk.hh_normal_form(prob, jnp.zeros(4), prob.params, verbose=True)
+    assert pt.omega1 == pytest.approx(w1, abs=1e-10)
+    assert pt.omega2 == pytest.approx(w2, abs=1e-10)
+    # basis-free invariants (model coefficient ratios)
+    delta = pt.nf["G1110"].real / pt.nf["G2100"].real
+    theta = pt.nf["G1011"].real / pt.nf["G0021"].real
+    assert delta == pytest.approx(g1110 / (g2100 / 2), rel=1e-8)
+    assert theta == pytest.approx(g1011 / (g0021 / 2), rel=1e-8)
+    # criticality signs
+    assert pt.nf["G2100"].real > 0 and pt.nf["G0021"].real > 0
+    # imaginary parts vanish on this model
+    assert abs(pt.nf["G2100"].imag) < 1e-10
+    assert abs(pt.nf["G1011"].imag) < 1e-10
