@@ -122,11 +122,31 @@ def _po_ma_problem(po_prob, lens2, kind: str):
             new["_phi"] = phi
         return new
 
+    def eig_jacobian(Y, par):
+        """Floquet spectrum of the INNER orbit along the codim-2 curve
+        (the FoldEig/HopfEig border-stripping pattern, MinAugPD.jl:440):
+        enables detection of SECONDARY bifurcations — fold-flip, fold-NS,
+        pd-NS, NS-NS — as ordinary Floquet crossings."""
+        X, p1, theta = split(Y)
+        po_par = {k: v for k, v in par.items() if k not in ("_a", "_b")}
+        po_par["_inner"] = inner_lens.set(par["_inner"], p1)
+        return disc.monodromy(prob_vf, X, po_par)
+
     maprob = BifurcationProblem(G, u0=None, params=None, lens=lens,
                                 record_from_solution=record, update=update)
     object.__setattr__(maprob, "inner_prob", po_prob)
     object.__setattr__(maprob, "ma_kind", f"po-{kind}")
+    object.__setattr__(maprob, "eig_jacobian", eig_jacobian)
     return maprob, split
+
+
+# label conversion for secondary Floquet crossings along PO codim-2 curves
+# (ref _correct_event_labels, periodicorbit/codim2/codim2.jl:162-178)
+_SECONDARY_LABELS = {
+    "fold": {"bp": "R1", "hopf": "foldNS", "pd": "foldpd", "fold": "cusp"},
+    "pd": {"bp": "foldFlip", "hopf": "pdNS", "pd": "R2"},
+    "ns": {"bp": "foldNS", "hopf": "nsns", "pd": "pdNS"},
+}
 
 
 def _start_data(br_po, ind_bif, which: str):
@@ -299,10 +319,20 @@ def _continuation_po_codim2(br_po, ind_bif, lens2, contparams, kind,
     params["_a"] = a
     params["_b"] = b
     maprob2 = maprob.re_make(u0=Y0, params=params)
-    for attr in ("inner_prob", "ma_kind"):
+    for attr in ("inner_prob", "ma_kind", "eig_jacobian"):
         object.__setattr__(maprob2, attr, getattr(maprob, attr))
-    cp = contparams.replace(detect_bifurcation=min(
-        contparams.detect_bifurcation, 1))
+    cp = contparams
+    if cp.detect_bifurcation > 1:
+        # detect SECONDARY bifurcations along the curve from the inner
+        # orbit's Floquet spectrum (eig_jacobian = monodromy); the tracked
+        # critical multiplier and the trivial one sit ON the unit circle and
+        # stay below tol_stability
+        from .floquet import FloquetEig
+
+        nopts = cp.newton_options
+        if not isinstance(nopts.eigsolver, FloquetEig):
+            cp = cp.replace(
+                newton_options=nopts.replace(eigsolver=FloquetEig()))
     event = None
     if detect_codim3 > 0:
         event = _po_codim3_event(po_prob, split, kind,
@@ -312,6 +342,10 @@ def _continuation_po_codim2(br_po, ind_bif, lens2, contparams, kind,
             cp = cp.replace(detect_event=min(detect_codim3, 2))
     gamma2 = continuation(maprob2, alg, cp, kind=f"POCodim2-{kind}",
                           event=event, **kwargs)
+    conv = _SECONDARY_LABELS.get(kind, {})
+    for sp2 in gamma2.specialpoint:
+        if sp2.type in conv:
+            sp2.type = conv[sp2.type]
     return Branch(gamma=gamma2, bp=gamma.specialpoint[ind_bif])
 
 

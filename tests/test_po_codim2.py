@@ -186,6 +186,26 @@ def test_pd_curve_codim3_events(lure_po_branch):
         assert sp.type in ("gpd", "cusp", "R2", "endpoint", "codim2")
 
 
+def test_pd_curve_secondary_floquet_detection(lure_po_branch):
+    """With detect_bifurcation > 1 the PD curve monitors the inner orbit's
+    Floquet spectrum (fold-flip/pd-NS/R2 as ordinary crossings, ref
+    _correct_event_labels, periodicorbit/codim2/codim2.jl:162-178); the
+    tracked -1 multiplier must NOT produce spurious detections."""
+    prob, br, br_po = lure_po_branch
+    pds = br_po.gamma.get_special_points("pd")
+    idx = br_po.gamma.specialpoint.index(pds[0])
+    cp2 = bk.ContinuationPar(ds=0.02, dsmax=0.05, dsmin=1e-6, p_min=0.8,
+                             p_max=1.4, max_steps=6, detect_bifurcation=2,
+                             detect_fold=False, nev=4, tol_stability=1e-3,
+                             newton_options=bk.NewtonPar(tol=1e-7,
+                                                         max_iterations=15))
+    br_pd = bk.continuation_pd(br_po, idx, "beta", cp2, detect_codim3=0)
+    assert len(br_pd) >= 4
+    allowed = {"foldFlip", "pdNS", "R2", "nd", "endpoint"}
+    for sp in br_pd.gamma.specialpoint:
+        assert sp.type in allowed, sp.type
+
+
 def test_po_codim2_resonance_values(lure_po_branch):
     prob, br, br_po = lure_po_branch
     pds = br_po.gamma.get_special_points("pd")
