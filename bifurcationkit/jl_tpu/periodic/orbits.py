@@ -185,11 +185,19 @@ def newton_po(prob_vf, disc, X0, params=None,
 
 
 def continuation_po(prob_vf, disc, X0, contparams: ContinuationPar,
-                    alg=None, params=None, **kwargs) -> Branch:
+                    alg=None, params=None, use_cop: bool = False,
+                    **kwargs) -> Branch:
     """Continue a periodic orbit in the vector field's lens parameter."""
     alg = alg or PALC()
-    po_prob = periodic_orbit_problem(prob_vf, disc, X0, params=params)
+    po_prob = periodic_orbit_problem(prob_vf, disc, X0, params=params,
+                                     use_cop=use_cop)
     cp = _po_contparams(contparams)
+    if use_cop:
+        from .cop import COPLS
+
+        nopts = cp.newton_options
+        if not isinstance(nopts.linsolver, COPLS):
+            cp = cp.replace(newton_options=nopts.replace(linsolver=COPLS()))
     gamma = continuation(po_prob, alg, cp, kind="PeriodicOrbitCont",
                          **kwargs)
     return Branch(gamma=gamma, bp=None)
@@ -197,7 +205,8 @@ def continuation_po(prob_vf, disc, X0, contparams: ContinuationPar,
 
 def continuation_hopf_po(br, ind_hopf: int, contparams: ContinuationPar,
                          disc=None, alg=None, delta_p: float = None,
-                         ampfactor: float = 1.0, **kwargs) -> Branch:
+                         ampfactor: float = 1.0, use_cop: bool = False,
+                         **kwargs) -> Branch:
     """Automatic branch switching Hopf -> periodic orbits
     (ref continuation(br, ind_hopf, contparams, disc),
     PeriodicOrbits.jl:395-624): normal-form predictor seeds the orbit guess.
@@ -216,8 +225,15 @@ def continuation_hopf_po(br, ind_hopf: int, contparams: ContinuationPar,
     orbit_fn = lambda t: np.asarray(pred["orbit"](t))
     X0 = disc.generate_solution(orbit_fn, period, n)
     params_new = prob_vf.set_lens_param(prob_vf.params, p_new)
-    po_prob = periodic_orbit_problem(prob_vf, disc, X0, params=params_new)
+    po_prob = periodic_orbit_problem(prob_vf, disc, X0, params=params_new,
+                                     use_cop=use_cop)
     cp = _po_contparams(contparams)
+    if use_cop:
+        from .cop import COPLS
+
+        nopts = cp.newton_options
+        if not isinstance(nopts.linsolver, COPLS):
+            cp = cp.replace(newton_options=nopts.replace(linsolver=COPLS()))
     gamma = continuation(po_prob, alg, cp, kind="PeriodicOrbitCont",
                          **kwargs)
     return Branch(gamma=gamma, bp=hp)

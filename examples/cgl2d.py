@@ -1,0 +1,75 @@
+"""2D complex Ginzburg-Landau (ref examples/cGL2d.jl): matrix-free
+Newton-GMRES continuation of the trivial state, Hopf detection by Arnoldi,
+Hopf normal form, and aBS to periodic orbits with the trapezoid
+discretization — the reference's large-PO workload (BASELINE.json config).
+
+The reference runs this with sparse-J + ILU-preconditioned GMRES on CPU;
+here the Jacobian-vector product is one fused XLA stencil kernel and every
+solve is matrix-free on device.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp
+
+import bifurcationkit.jl_tpu as bk
+from bifurcationkit.jl_tpu import models
+from bifurcationkit.jl_tpu.linalg.eig import ArnoldiEig
+from bifurcationkit.jl_tpu.linalg.linear import GMRES
+
+
+def main(Nx=21, Ny=11, po_steps=6):
+    base = models.cgl2d(Nx=Nx, Ny=Ny, r=0.1, c3=1.0)  # supercritical
+    # PO machinery needs a flat state; wrap the (2, Nx, Ny) fields
+    shape = (2, Nx, Ny)
+
+    def F(x, par):
+        return base.F(x.reshape(shape), par).ravel()
+
+    prob = bk.BifurcationProblem(
+        F, u0=jnp.zeros(2 * Nx * Ny), params=base.params, lens="r",
+        record_from_solution=lambda x, p, **k: {
+            "param": p, "norm": jnp.linalg.norm(x),
+            "norminf": jnp.max(jnp.abs(x))})
+
+    nopts = bk.NewtonPar(tol=1e-9, max_iterations=20,
+                         linsolver=GMRES(restart=40, maxiter=400,
+                                         rtol=1e-10),
+                         eigsolver=ArnoldiEig(krylov_dim=60, restarts=4))
+    cp = bk.ContinuationPar(ds=0.02, dsmax=0.05, dsmin=1e-6, p_min=0.0,
+                            p_max=2.5, max_steps=80, detect_bifurcation=3,
+                            nev=10, n_inversion=4, newton_options=nopts)
+    br = bk.continuation(prob, bk.PALC(), cp)
+    print(br)
+    hopfs = br.get_special_points("hopf")
+    print("Hopf points at r =", [round(h.param, 5) for h in hopfs])
+    assert hopfs, "no Hopf found on the trivial cGL2d branch"
+
+    i = br.specialpoint.index(hopfs[0])
+    hp = bk.get_normal_form(br, i, verbose=True)
+
+    # PO solves go through the native COP direct solver (the reference
+    # uses ILU-preconditioned GMRES on the trapezoid system instead).
+    # With c3 = -1 (the reference's sign) the Hopf is weakly subcritical
+    # with a fold ~2e-4 past it; c3 = +1 gives the clean supercritical
+    # demonstration branch.
+    cp_po = bk.ContinuationPar(ds=0.005, dsmax=0.02, dsmin=1e-8,
+                               p_min=0.9, p_max=2.5,
+                               max_steps=po_steps, detect_bifurcation=0,
+                               detect_fold=False,
+                               newton_options=bk.NewtonPar(
+                                   tol=1e-8, max_iterations=25))
+    br_po = bk.continuation_hopf_po(br, i, cp_po,
+                                    disc=bk.Collocation(Ntst=12, m=3),
+                                    delta_p=0.003, use_cop=True)
+    tbl = br_po.gamma._table()
+    print("PO branch:", len(br_po), "points; r:",
+          [round(float(v), 5) for v in tbl["param"][:4]],
+          "period:", [round(float(v), 4) for v in tbl["period"][:4]])
+    return br, br_po
+
+
+if __name__ == "__main__":
+    main()

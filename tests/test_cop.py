@@ -67,3 +67,28 @@ def test_newton_po_with_cop():
                                      linsolver=bk.COPLS()))
     assert bool(sol.converged)
     assert float(disc.period(sol.u)) == pytest.approx(PERIOD, rel=1e-6)
+
+
+def test_continuation_po_with_cop():
+    """Full PALC continuation on the COP direct solver (auto-wired by
+    use_cop=True): the branch tracks the exact SL orbit family."""
+    from bifurcationkit.jl_tpu.periodic.orbits import continuation_po
+
+    prob = models.stuart_landau(r=R0, mu=MU, nu=NU, c3=1.0, c5=0.0)
+    disc = bk.Collocation(Ntst=12, m=3)
+
+    def orbit(t):
+        s = np.sign(OMEGA)
+        return np.array([RADIUS * np.cos(s * t), RADIUS * np.sin(s * t)])
+
+    X0 = disc.generate_solution(orbit, PERIOD, 2)
+    cp = bk.ContinuationPar(ds=0.02, dsmax=0.05, dsmin=1e-6, p_min=0.1,
+                            p_max=0.9, max_steps=8, detect_bifurcation=0,
+                            detect_fold=False,
+                            newton_options=bk.NewtonPar(tol=1e-9,
+                                                        max_iterations=20))
+    br = continuation_po(prob, disc, X0, cp, use_cop=True)
+    tbl = br.gamma._table()
+    # exact period at r: 2 pi / |mu - nu r|
+    exact = 2 * np.pi / np.abs(MU - NU * np.asarray(tbl["param"]))
+    np.testing.assert_allclose(np.asarray(tbl["period"]), exact, rtol=1e-6)
