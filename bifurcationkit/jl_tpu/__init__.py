@@ -36,6 +36,7 @@ from .detection import (ContinuousEvent, DiscreteEvent, PairOfEvents,
                         SetOfEvents, SpecialPoint, bif_detect_event,
                         fold_detect_event, save_at_event)
 from .codim2 import (bt_normal_form, bt_predictors, continuation_fold,
+                     switch_codim2,
                      continuation_hopf, cusp_normal_form,
                      get_normal_form_codim2, newton_bt, newton_fold,
                      newton_hopf, refine_gh)

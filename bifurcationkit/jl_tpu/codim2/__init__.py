@@ -1,4 +1,5 @@
 from .minaug import (continuation_fold, continuation_hopf, fold_ma_problem,
+                     switch_codim2,
                      hopf_ma_problem, newton_fold, newton_hopf, refine_gh)
 from .normal_forms import (bt_normal_form, bt_predictors, cusp_normal_form,
                            get_normal_form_codim2, newton_bt)

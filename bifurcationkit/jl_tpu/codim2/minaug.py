@@ -34,6 +34,7 @@ from ..core.params import ContinuationPar, NewtonPar
 from ..core.problem import BifurcationProblem
 from ..core.state import ravel
 from ..detection.events import ContinuousEvent, PairOfEvents, DiscreteEvent
+from ..detection.points import SpecialPoint
 from ..linalg.eig import dense_eig
 from ..newton import newton
 
@@ -118,6 +119,7 @@ def fold_ma_problem(prob: BifurcationProblem, lens1, lens2,
     object.__setattr__(maprob, "n_inner", n)
     object.__setattr__(maprob, "unravel_inner", unravel)
     object.__setattr__(maprob, "ma_kind", "fold")
+    object.__setattr__(maprob, "outer_lens", outer_lens)
     return maprob
 
 
@@ -179,6 +181,7 @@ def hopf_ma_problem(prob: BifurcationProblem, lens1, lens2,
     object.__setattr__(maprob, "n_inner", n)
     object.__setattr__(maprob, "unravel_inner", unravel)
     object.__setattr__(maprob, "ma_kind", "hopf")
+    object.__setattr__(maprob, "outer_lens", outer_lens)
     return maprob
 
 
@@ -217,7 +220,7 @@ def _make_minaug_update(prob, inner_lens, n, unravel, is_hopf: bool,
 
 
 _MA_ATTRS = ("eig_jacobian", "inner_prob", "inner_lens", "n_inner",
-             "unravel_inner", "ma_kind")
+             "unravel_inner", "ma_kind", "outer_lens")
 
 
 def _with_ma_attrs(src, dst):
@@ -468,11 +471,15 @@ def continuation_fold(br, ind_bif: int, lens2,
              if detect_codim2_bifurcation > 0 else None)
     cp = contparams
     if event is not None and cp.detect_event == 0:
+        # detect_bifurcation > 1 stays on: eigenvalue-count crossings of the
+        # INNER jacobian along the curve are codim-2 points themselves
+        # (bp -> bt, hopf -> zh; ref conversion, src/codim2/codim2.jl:566)
         cp = cp.replace(detect_event=min(detect_codim2_bifurcation, 2),
-                        detect_bifurcation=min(cp.detect_bifurcation, 1))
+                        detect_bifurcation=cp.detect_bifurcation
+                        if cp.detect_bifurcation > 1 else 0)
     gamma = continuation(maprob, alg, cp, kind="FoldCont", event=event,
                          **kwargs)
-    _relabel_codim2(gamma)
+    _relabel_codim2(gamma, maprob)
     return Branch(gamma=gamma, bp=br.specialpoint[ind_bif])
 
 
@@ -499,9 +506,12 @@ def continuation_hopf(br, ind_bif: int, lens2,
     if event is not None and cp.detect_event == 0:
         # guess-level detection by default; the located point can be refined
         # with refine_gh / newton_bt (PALC event-bisection on MA curves is
-        # less robust than fixed-p2 refinement)
+        # less robust than fixed-p2 refinement).  detect_bifurcation > 1
+        # stays on: inner-spectrum crossings are zh (bp) / hh (hopf)
+        # (ref conversion, src/codim2/codim2.jl:568)
         cp = cp.replace(detect_event=1,
-                        detect_bifurcation=min(cp.detect_bifurcation, 1))
+                        detect_bifurcation=cp.detect_bifurcation
+                        if cp.detect_bifurcation > 1 else 0)
     gamma = continuation(maprob, alg, cp, kind="HopfCont", event=event,
                          **kwargs)
     _relabel_codim2(gamma, maprob)
@@ -536,6 +546,115 @@ def _relabel_codim2(gamma: ContResult, maprob=None):
             continue
         if sp.type in ("userC", "userD"):
             sp.type = "codim2"
+            continue
+        # inner-spectrum crossings along the curve (ref conversion dicts,
+        # src/codim2/codim2.jl:566-568)
+        kind = getattr(maprob, "ma_kind", None) if maprob is not None \
+            else None
+        conv = {"fold": {"bp": "bt", "hopf": "zh", "fold": "cusp"},
+                "hopf": {"bp": "zh", "hopf": "hh", "fold": "nd"}}.get(kind,
+                                                                      {})
+        if sp.type in conv:
+            sp.type = conv[sp.type]
+
+
+def switch_codim2(br_c2, ind: int, contparams: ContinuationPar,
+                  to: Optional[str] = None, **kwargs) -> Branch:
+    """Start the OTHER codim-2 curve from a codim-2 point detected along an
+    MA curve (ref the `continuation(br_codim2, ind, opts)` dispatch,
+    src/codim2/codim2.jl:400-560; exercised by the lorenz84 flows
+    `hp_from_zh` / `hp_from_hh`, test/hopf_codim_2/lorenz84.jl:350-371):
+
+      zh on a fold curve  -> the Hopf curve through the same point
+      hh on a hopf curve  -> the OTHER Hopf curve (second frequency)
+      bt on a hopf curve  -> the fold curve through the same point
+
+    Both curves pass through the point, so no predictor step is needed —
+    the new MA problem starts exactly there with the eigen data of the
+    target eigenvalue pair."""
+    from types import SimpleNamespace
+
+    gamma = br_c2.gamma if isinstance(br_c2, Branch) else br_c2
+    sp = gamma.specialpoint[ind]
+    maprob = gamma.prob
+    inner = maprob.inner_prob
+    n = maprob.n_inner
+    X = jnp.asarray(sp.x)
+    x = X[:n]
+    p1 = float(X[n])
+    p2 = float(sp.param)
+    omega_cur = float(X[n + 1]) if maprob.ma_kind == "hopf" else None
+
+    if to is None:
+        to = {"zh": "hopf" if maprob.ma_kind == "fold" else "fold",
+              "hh": "hopf",
+              "bt": "fold" if maprob.ma_kind == "hopf" else None}.get(sp.type)
+    if to is None:
+        raise ValueError(f"no switch target for a {sp.type!r} point on a "
+                         f"{maprob.ma_kind} curve (bt -> hopf needs the "
+                         "normal-form predictor; use bt_predictors)")
+
+    # inner problem anchored at the codim-2 point (p2 frozen into params)
+    par_full = maprob.lens.set(dict(maprob.params), p2)
+    par_inner = maprob.inner_lens.set(par_full["_inner"], p1)
+    x_in = maprob.unravel_inner(x)
+    prob2 = inner.re_make(u0=x_in, params=par_inner)
+    lens2 = maprob.outer_lens
+
+    if to == "fold":
+        shim = SimpleNamespace(
+            prob=prob2,
+            specialpoint=[SpecialPoint(type="fold", param=p1, x=x_in)])
+        return continuation_fold(shim, 0, lens2, contparams, **kwargs)
+
+    # hopf target: pick the eigenvalue pair — at an HH point, the pair
+    # FARTHEST in frequency from the current curve's omega
+    J = prob2.jacobian(x_in, par_inner)
+    vals, vecs = dense_eig(J)
+    vals_np = np.asarray(vals)
+    cand = np.where(vals_np.imag > 1e-10)[0]
+    if len(cand) == 0:
+        raise RuntimeError("no complex pair at the switch point")
+    if sp.type == "hh" and omega_cur is not None:
+        i0 = cand[np.argmax(np.abs(vals_np[cand].imag - abs(omega_cur)))]
+    else:
+        i0 = cand[np.argmin(np.abs(vals_np.real[cand]))]
+    lam = vals_np[i0]
+    zeta = np.asarray(vecs)[:, i0]
+    zeta = zeta / np.linalg.norm(zeta)
+    valsT, vecsT = dense_eig(J.T)
+    iT = int(np.argmin(np.abs(np.asarray(valsT) - np.conj(lam))))
+    zeta_ad = np.asarray(vecsT)[:, iT]
+    zeta_ad = zeta_ad / np.linalg.norm(zeta_ad)
+
+    shim = SimpleNamespace(
+        prob=prob2,
+        specialpoint=[SpecialPoint(type="hopf", param=p1, x=x_in,
+                                   eigenvals=vals_np,
+                                   eigenvecs=np.asarray(vecs),
+                                   ind_ev=int(i0) + 1)])
+    # continuation_hopf recomputes the eigen data through _hopf_start; at a
+    # plain ZH that picks the same pair, but at an HH it would be ambiguous
+    # — pass the chosen pair by overriding the start
+    x_flat, _ = ravel(x_in)
+    maprob2 = hopf_ma_problem(prob2, prob2.lens, lens2,
+                              jnp.asarray(zeta_ad), jnp.asarray(zeta))
+    X0 = jnp.concatenate([x_flat, jnp.asarray(p1)[None],
+                          jnp.asarray(float(lam.imag))[None]])
+    params = dict(maprob2.params)
+    params["_a"] = jnp.asarray(zeta_ad)
+    params["_b"] = jnp.asarray(zeta)
+    maprob2 = _with_ma_attrs(maprob2, maprob2.re_make(u0=X0, params=params))
+    event = _hopf_codim2_event(maprob2, with_gh=True)
+    cp = contparams
+    if cp.detect_event == 0:
+        cp = cp.replace(detect_event=1,
+                        detect_bifurcation=min(cp.detect_bifurcation, 1))
+    alg = kwargs.pop("alg", None) or PALC()
+    gamma2 = continuation(maprob2, alg, cp, kind="HopfCont", event=event,
+                          **kwargs)
+    _relabel_codim2(gamma2, maprob2)
+    return Branch(gamma=gamma2, bp=sp)
 
 
 def newton_fold(br, ind_bif: int, options: Optional[NewtonPar] = None,

@@ -319,3 +319,85 @@ def test_hh_normal_form_invariants():
     # imaginary parts vanish on this model
     assert abs(pt.nf["G2100"].imag) < 1e-10
     assert abs(pt.nf["G1011"].imag) < 1e-10
+
+
+def test_switch_codim2_zh_to_fold():
+    """ZH detected on the Lorenz-84 Hopf curve -> switch to the fold curve
+    through the same point (ref the continuation(br_codim2, ind, ...)
+    dispatch and the lorenz84 hp_from_zh flow, lorenz84.jl:350-360): the
+    fold curve must carry an exact zero eigenvalue of the inner jacobian."""
+    from bifurcationkit.jl_tpu import models
+
+    prob = models.lorenz84()
+    cp = bk.ContinuationPar(ds=0.01, dsmax=0.04, dsmin=1e-6, p_min=-1.0,
+                            p_max=5.0, max_steps=300, detect_bifurcation=3,
+                            nev=4, n_inversion=6,
+                            newton_options=bk.NewtonPar(tol=1e-10,
+                                                        max_iterations=30))
+    br = bk.continuation(prob, bk.PALC(), cp)
+    i = br.specialpoint.index(br.get_special_points("hopf")[0])
+    cp2 = bk.ContinuationPar(ds=0.01, dsmax=0.03, dsmin=1e-6, p_min=0.0001,
+                             p_max=3.0, max_steps=100, detect_bifurcation=0,
+                             detect_fold=False,
+                             newton_options=bk.NewtonPar(tol=1e-9,
+                                                         max_iterations=30))
+    brh = bk.continuation_hopf(br, i, "G", cp2, detect_codim2_bifurcation=2)
+    zh = [sp for sp in brh.gamma.specialpoint if sp.type == "zh"][0]
+    idx = brh.gamma.specialpoint.index(zh)
+    cp3 = cp2.replace(max_steps=25)
+    br_fold = bk.switch_codim2(brh, idx, cp3)
+    assert len(br_fold) >= 10
+    sol = br_fold.gamma.sol[len(br_fold.gamma.sol) // 2]
+    X = np.asarray(sol["x"])
+    params = {"a": 0.25, "b": 4.0, "G": float(sol["p"]), "F": float(X[4])}
+    J = prob.jacobian(jnp.asarray(X[:4]), params)
+    vals = np.linalg.eigvals(np.asarray(J))
+    assert float(np.min(np.abs(vals))) < 1e-10
+
+
+def test_switch_codim2_hh_to_other_hopf():
+    """HH detected by inner-spectrum counting along a Hopf curve; switching
+    starts the SECOND Hopf curve (other frequency), which must track the
+    analytic pair-2 locus b2 + 0.4 b1 = 0 at omega = w2 (ref hp_from_hh,
+    lorenz84.jl:362-371)."""
+    w1, w2 = 0.9, 1.7
+
+    def F(u, par):
+        z1 = u[0] + 1j * u[1]
+        z2 = u[2] + 1j * u[3]
+        ua1 = u[0] ** 2 + u[1] ** 2
+        ua2 = u[2] ** 2 + u[3] ** 2
+        t1 = ((par["b1"] + 1j * w1) * z1 - 0.5 * z1 * ua1 - 1.0 * z1 * ua2
+              + 0.3 * z1 * z2 + 0.1 * z2 * jnp.conj(z1))
+        t2 = ((par["b2"] + 0.4 * par["b1"] + 1j * w2) * z2 - 2.0 * z2 * ua1
+              - 1.5 * z2 * ua2 + 0.2 * z1 * z1 + 0.15 * z1 * jnp.conj(z2))
+        return jnp.array([jnp.real(t1), jnp.imag(t1),
+                          jnp.real(t2), jnp.imag(t2)])
+
+    prob = bk.BifurcationProblem(F, u0=jnp.zeros(4),
+                                 params={"b1": -0.3, "b2": -0.2}, lens="b1")
+    cp = bk.ContinuationPar(ds=0.02, dsmax=0.05, dsmin=1e-6, p_min=-0.5,
+                            p_max=0.4, max_steps=80, detect_bifurcation=3,
+                            nev=4, n_inversion=6,
+                            newton_options=bk.NewtonPar(tol=1e-10))
+    br = bk.continuation(prob, bk.PALC(), cp)
+    i = br.specialpoint.index(br.get_special_points("hopf")[0])
+    cp2 = bk.ContinuationPar(ds=0.02, dsmax=0.05, dsmin=1e-6, p_min=-0.5,
+                             p_max=0.5, max_steps=60, detect_bifurcation=3,
+                             nev=4, n_inversion=4, detect_fold=False,
+                             tol_stability=1e-6,
+                             newton_options=bk.NewtonPar(tol=1e-10,
+                                                         max_iterations=25))
+    brh = bk.continuation_hopf(br, i, "b2", cp2, detect_codim2_bifurcation=2)
+    hhs = [s for s in brh.gamma.specialpoint if s.type == "hh"]
+    assert len(hhs) >= 1
+    assert abs(hhs[0].param) < 2e-2         # HH at b2 = 0 (guess status)
+    idx = brh.gamma.specialpoint.index(hhs[0])
+    br2 = bk.switch_codim2(brh, idx,
+                           cp2.replace(max_steps=15, detect_bifurcation=0))
+    tbl = br2.gamma._table()
+    om = np.asarray(tbl["omega"])
+    np.testing.assert_allclose(om, w2, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tbl["param"])
+                               + 0.4 * np.asarray(tbl["p1"]), 0.0,
+                               atol=1e-8)
