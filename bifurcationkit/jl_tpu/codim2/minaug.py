@@ -588,11 +588,11 @@ def switch_codim2(br_c2, ind: int, contparams: ContinuationPar,
     if to is None:
         to = {"zh": "hopf" if maprob.ma_kind == "fold" else "fold",
               "hh": "hopf",
-              "bt": "fold" if maprob.ma_kind == "hopf" else None}.get(sp.type)
+              "bt": "fold" if maprob.ma_kind == "hopf" else "hopf"
+              }.get(sp.type)
     if to is None:
         raise ValueError(f"no switch target for a {sp.type!r} point on a "
-                         f"{maprob.ma_kind} curve (bt -> hopf needs the "
-                         "normal-form predictor; use bt_predictors)")
+                         f"{maprob.ma_kind} curve")
 
     # inner problem anchored at the codim-2 point (p2 frozen into params)
     par_full = maprob.lens.set(dict(maprob.params), p2)
@@ -606,6 +606,57 @@ def switch_codim2(br_c2, ind: int, contparams: ContinuationPar,
             prob=prob2,
             specialpoint=[SpecialPoint(type="fold", param=p1, x=x_in)])
         return continuation_fold(shim, 0, lens2, contparams, **kwargs)
+
+    if to == "hopf" and sp.type == "bt":
+        # the Hopf curve leaves the BT tangentially to the fold curve; the
+        # eigenvalue pair only complexifies on ONE side.  Probe p2 on both
+        # sides, reconverge the equilibrium, and hand the complexified pair
+        # to the Hopf MA (its own init Newton refines (x, p1, omega))
+        # (ref the BT aBS via the normal-form predictor, codim2.jl:455-560 —
+        # here done by direct probing, which needs no beta-parameter map).
+        scale = max(abs(p2), abs(p1), 1e-2)
+        last_err = None
+        dirs = [(1, 0), (-1, 0), (0, 1), (0, -1),
+                (1, 1), (-1, -1), (1, -1), (-1, 1)]
+        for frac in (1e-2, 5e-2, 2e-1):
+            for d1, d2 in dirs:
+                p1_try = p1 + d1 * frac * scale
+                p2_try = p2 + d2 * frac * scale
+                par_try = maprob.lens.set(dict(maprob.params), p2_try)
+                par_try = maprob.inner_lens.set(par_try["_inner"], p1_try)
+                sol = newton(inner.re_make(u0=x_in, params=par_try),
+                             contparams.newton_options)
+                if not bool(sol.converged):
+                    continue
+                Jp = inner.jacobian(sol.u, par_try)
+                vp = np.asarray(dense_eig(Jp)[0])
+                pair = vp[np.abs(vp.imag) > 1e-8]
+                if len(pair) == 0:
+                    continue
+                lam_t = pair[np.argmin(np.abs(pair.real))]
+                if abs(lam_t.real) > 0.5 * abs(lam_t.imag):
+                    continue     # not near a Hopf yet
+                prob_t = inner.re_make(u0=sol.u, params=par_try)
+                shim = SimpleNamespace(
+                    prob=prob_t,
+                    specialpoint=[SpecialPoint(type="hopf", param=p1_try,
+                                               x=sol.u)])
+                try:
+                    out = continuation_hopf(shim, 0, lens2, contparams,
+                                            **kwargs)
+                except RuntimeError as err:
+                    last_err = err
+                    continue
+                # reject a collapse onto the omega = 0 family (which IS the
+                # fold curve we came from)
+                om = np.asarray(out.gamma._table()["omega"])
+                if np.max(np.abs(om)) < 1e-6:
+                    last_err = RuntimeError("collapsed onto omega = 0")
+                    continue
+                return out
+        raise RuntimeError(f"bt -> hopf probing failed around "
+                           f"(p1, p2) = ({p1}, {p2})"
+                           + (f" (last: {last_err})" if last_err else ""))
 
     # hopf target: pick the eigenvalue pair — at an HH point, the pair
     # FARTHEST in frequency from the current curve's omega

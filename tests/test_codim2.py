@@ -401,3 +401,27 @@ def test_switch_codim2_hh_to_other_hopf():
     np.testing.assert_allclose(np.asarray(tbl["param"])
                                + 0.4 * np.asarray(tbl["p1"]), 0.0,
                                atol=1e-8)
+
+
+def test_switch_codim2_bt_to_hopf():
+    """BT on the bt_model fold curve -> the Hopf curve {b1 = 0, b2 < 0,
+    omega = sqrt(-b2)} via 2D parameter probing (ref the BT aBS,
+    codim2.jl:455-560)."""
+    prob = bt_model(b1=0.5, b2=2.0)
+    cp1 = _cp(ds=0.01, dsmax=0.05, p_min=0.2, p_max=1.5, max_steps=150,
+              detect_bifurcation=2, detect_fold=True, nev=2)
+    br = bk.continuation(prob, bk.PALC(), cp1)
+    pts = [sp for sp in br.specialpoint if sp.type in ("fold", "bp")]
+    idx = br.specialpoint.index(pts[0])
+    cp2 = _cp(ds=-0.02, dsmax=0.05, p_min=-2.5, p_max=2.5, max_steps=250,
+              detect_bifurcation=0, detect_fold=False)
+    brf = bk.continuation_fold(br, idx, "b2", cp2,
+                               detect_codim2_bifurcation=2)
+    bts = [sp for sp in brf.gamma.specialpoint if sp.type == "bt"]
+    i = brf.gamma.specialpoint.index(bts[0])
+    brh = bk.switch_codim2(brf, i, cp2.replace(ds=-0.01, max_steps=25))
+    tbl = brh.gamma._table()
+    np.testing.assert_allclose(np.asarray(tbl["p1"]), 0.0, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(tbl["omega"]),
+        np.sqrt(np.maximum(-np.asarray(tbl["param"]), 0.0)), atol=1e-7)
