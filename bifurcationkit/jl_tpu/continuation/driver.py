@@ -105,7 +105,17 @@ def _continuation_loop(it: ContIterable, x0=None, params=None) -> ContResult:
                 if _event_crossed(state, it.event):
                     sp_ev = locate_event(it, state, res)
                     if sp_ev is not None:
-                        res.specialpoint.append(sp_ev)
+                        # bisection can leave the state within roundoff of
+                        # the crossing; the next step then re-crosses and
+                        # re-reports the same event
+                        dup = any(
+                            prev.type == sp_ev.type
+                            and abs(prev.param - sp_ev.param)
+                            < 1e-7 * max(1.0, abs(sp_ev.param))
+                            and sp_ev.step - prev.step <= 4
+                            for prev in res.specialpoint)
+                        if not dup:
+                            res.specialpoint.append(sp_ev)
                     # arm for the NEXT crossing: collapse (cur, prev) so the
                     # just-located event does not re-trigger every step
                     update_event(it, state)

@@ -215,6 +215,7 @@ def _bisect_event(it, state, verbose: bool = False):
     tol = max(cp.tol_param_bisection_event, 1e-15)
     best = state.copy()
     best_val = abs(state.event_values[0][comp])
+    prev_sign = post_sign
     n_steps = 0
     while (n_steps < cp.max_bisection_steps
            and abs(bis.ds) > cp.dsmin_bisection):
@@ -226,10 +227,14 @@ def _bisect_event(it, state, verbose: bool = False):
         if abs(cur_val) < best_val:
             best_val = abs(cur_val)
             best = bis.copy()
-        if np.sign(cur_val) == post_sign:
-            bis.ds /= 2        # still after the crossing: keep direction
+        # reverse whenever the sign CHANGES from the previous iterate
+        # (comparing against the fixed post-crossing sign breaks down after
+        # the first reversal and walks AWAY from the crossing)
+        if np.sign(cur_val) == prev_sign:
+            bis.ds /= 2        # not crossed since last iterate: keep going
         else:
-            bis.ds /= -2       # passed it: reverse
+            bis.ds /= -2       # crossed: reverse
+        prev_sign = np.sign(cur_val)
         n_steps += 1
         if verbose:
             print(f"  [event-bisection] step={n_steps} p={bis.p:.10f} "
@@ -246,8 +251,9 @@ def _bisect_event(it, state, verbose: bool = False):
         state.event_values = (state.event_values[0], state.event_values[0])
         return best
     state.z = best.z
-    state.z_old = best.z_old
-    state.tau = best.tau
+    # deliberately KEEP the original tau and z_old: the bisection replays
+    # with reversed ds, so best.tau points BACKWARD along the branch —
+    # adopting it sends the continuation back to re-cross the event
     state.eigvals = best.eigvals
     state.eigvecs = best.eigvecs
     state.event_values = (best.event_values[0], best.event_values[0])
