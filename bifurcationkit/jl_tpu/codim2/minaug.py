@@ -504,12 +504,12 @@ def continuation_hopf(br, ind_bif: int, lens2,
              if detect_codim2_bifurcation > 0 else None)
     cp = contparams
     if event is not None and cp.detect_event == 0:
-        # guess-level detection by default; the located point can be refined
-        # with refine_gh / newton_bt (PALC event-bisection on MA curves is
-        # less robust than fixed-p2 refinement).  detect_bifurcation > 1
-        # stays on: inner-spectrum crossings are zh (bp) / hh (hopf)
-        # (ref conversion, src/codim2/codim2.jl:568)
-        cp = cp.replace(detect_event=1,
+        # bisection-precise localization (the earlier guess-level default
+        # worked around an event-bisection direction bug, since fixed);
+        # located points can still be refined with refine_gh / newton_bt.
+        # detect_bifurcation > 1 stays on: inner-spectrum crossings are
+        # zh (bp) / hh (hopf) (ref conversion, src/codim2/codim2.jl:568)
+        cp = cp.replace(detect_event=min(detect_codim2_bifurcation, 2),
                         detect_bifurcation=cp.detect_bifurcation
                         if cp.detect_bifurcation > 1 else 0)
     gamma = continuation(maprob, alg, cp, kind="HopfCont", event=event,
