@@ -221,3 +221,29 @@ def test_newton_callback_in_palc():
                          callback_newton=reject)
     with pytest.raises(RuntimeError, match="Newton failed"):
         it.init_state()
+
+
+def test_continuation_pytree_state():
+    """Full continuation + detection with a dict pytree state (the L0
+    genericity the reference tests with custom vector types,
+    ref test/continuation/test-cont-non-vector.jl)."""
+    def F(u, par):
+        x = u["x"]
+        y = u["y"]
+        return {"x": x ** 3 - x - par["p"] + 0.1 * y, "y": y - x * x}
+
+    prob = bk.BifurcationProblem(
+        F, u0={"x": jnp.array([-1.1]), "y": jnp.array([1.2])},
+        params={"p": -0.3}, lens="p")
+    cp = bk.ContinuationPar(ds=0.01, dsmax=0.05, dsmin=1e-6, p_min=-1,
+                            p_max=1, max_steps=150, detect_bifurcation=3,
+                            nev=2, n_inversion=4,
+                            newton_options=bk.NewtonPar(tol=1e-10))
+    br = bk.continuation(prob, bk.PALC(), cp)
+    folds = br.get_special_points("fold")
+    assert len(folds) == 2
+    # the perturbed cubic's folds bracket the unperturbed +-2/sqrt(27)
+    ps = sorted(f.param for f in folds)
+    assert -0.6 < ps[0] < -0.2 and 0.2 < ps[1] < 0.6
+    # solutions stay dict pytrees
+    assert set(br.sol[0]["x"].keys()) == {"x", "y"}
