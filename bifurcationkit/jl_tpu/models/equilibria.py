@@ -171,6 +171,31 @@ def freire(nu: float = -0.9, beta: float = 0.5, gamma: float = -0.6,
         lens="nu")
 
 
+def tsodyks_markram(params=None):
+    """Tsodyks-Markram neural-mass model (ref examples/TMModel.jl:8-20):
+    E-x-u synaptic dynamics with a firing-rate softplus.  The equilibrium
+    branch in E0 carries two folds and a Hopf; the Hopf curve in (E0, alpha)
+    and the PO branches are the reference's ODE-tutorial workload.
+    Continued in E0."""
+    if params is None:
+        params = {"alpha": 1.5, "tau": 0.013, "J": 3.07, "E0": -2.0,
+                  "tauD": 0.2, "U0": 0.3, "tauF": 1.5}
+
+    def F(z, par):
+        E, x, u = z[0], z[1], z[2]
+        SS0 = par["J"] * u * x * E + par["E0"]
+        SS1 = par["alpha"] * jnp.logaddexp(0.0, SS0 / par["alpha"])
+        return jnp.array([
+            (-E + SS1) / par["tau"],
+            (1 - x) / par["tauD"] - u * x * E,
+            (par["U0"] - u) / par["tauF"] + par["U0"] * (1 - u) * E,
+        ])
+
+    # ref examples/TMModel.jl:20
+    u0 = jnp.array([0.238616, 0.982747, 0.367876])
+    return BifurcationProblem(F, u0=u0, params=params, lens="E0")
+
+
 def brusselator_1d(n: int = 100, alpha: float = 2.0, beta: float = 5.45,
                    D1: float = 0.008, D2: float = 0.004, l: float = 0.3):
     """1D Brusselator reaction-diffusion (ref examples/brusselator.jl:26-49,

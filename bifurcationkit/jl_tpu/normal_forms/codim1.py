@@ -272,22 +272,35 @@ def hopf_normal_form(prob, br, ind_hopf: int, verbose: bool = False):
     if sp.type != "hopf":
         raise ValueError(f"point {ind_hopf} is not a Hopf point "
                          f"(type={sp.type!r})")
-    p = sp.param
-    parbif = prob.set_lens_param(prob.params, p)
-    fp = _FlatProblem(prob, sp.x, parbif)
-    L = fp.jacobian()
-
     lam, zeta, ind = _bifpoint_eigen(br, sp)
     # ensure omega > 0 convention
     if np.imag(lam) < 0:
         lam = np.conj(lam)
         zeta = None if zeta is None else np.conj(zeta)
-    omega = float(np.imag(lam))
+    return hopf_normal_form_point(prob, sp.x, sp.param,
+                                  omega=float(np.imag(lam)), zeta=zeta,
+                                  tau=sp.tau, verbose=verbose)
+
+
+def hopf_normal_form_point(prob, x, p, omega, zeta=None, tau=None,
+                           verbose: bool = False):
+    """Hopf normal form from a raw point (x, p, omega) — the core used both
+    for branch special points and for points ON a codim-2 Hopf curve
+    (ref hopf_normal_form, src/NormalForms.jl:987-1205; the from-curve use is
+    continuation(br_hopf, ind, ...) at src/periodicorbit/PeriodicOrbits.jl)."""
+    parbif = prob.set_lens_param(prob.params, p)
+    fp = _FlatProblem(prob, x, parbif)
+    L = fp.jacobian()
+
+    lam = 1j * omega
     if zeta is None:
         vals, vecs = dense_eig(L)
         vals_np = np.asarray(vals)
         ind = int(np.argmin(np.abs(vals_np - lam)))
+        lam_found = vals_np[ind]
         zeta = np.asarray(vecs)[:, ind]
+        if np.imag(lam_found) < 0:
+            zeta = np.conj(zeta)
     zeta = jnp.asarray(zeta)
     zeta = zeta / jnp.linalg.norm(zeta)
 
@@ -332,7 +345,7 @@ def hopf_normal_form(prob, br, ind_hopf: int, verbose: bool = False):
                   "Psi200": Psi200})
     hp.subtype = ("SuperCritical" if b.real < 0 else
                   "SubCritical" if b.real > 0 else "Singular")
-    hp.tau = sp.tau
+    hp.tau = tau
     hp.unravel = fp.unravel
     return hp
 

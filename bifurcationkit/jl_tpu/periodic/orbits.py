@@ -212,12 +212,21 @@ def continuation_hopf_po(br, ind_hopf: int, contparams: ContinuationPar,
     PeriodicOrbits.jl:395-624): normal-form predictor seeds the orbit guess.
     """
     disc = disc or Collocation(Ntst=20, m=4)
-    alg = alg or PALC()
     prob_vf = br.prob
     hp = hopf_normal_form(prob_vf, br, ind_hopf)
+    return _continuation_hopf_pred(prob_vf, hp, contparams, disc, alg=alg,
+                                   delta_p=delta_p, ampfactor=ampfactor,
+                                   use_cop=use_cop, **kwargs)
+
+
+def _continuation_hopf_pred(prob_vf, hp, contparams, disc, alg=None,
+                            delta_p=None, ampfactor=1.0, use_cop=False,
+                            **kwargs) -> Branch:
+    """Common Hopf-normal-form -> PO-branch tail (ref _continuation(hopfpt,
+    ...), PeriodicOrbits.jl:395-530)."""
+    alg = alg or PALC()
     ds = delta_p if delta_p is not None else contparams.ds
     pred = hopf_predictor(hp, ds, ampfactor=ampfactor)
-    unravel = getattr(hp, "unravel", lambda v: v)
     p_new = float(pred["p"])
     period = float(pred["period"])
     n = np.asarray(hp.x0).shape[0]
@@ -237,6 +246,49 @@ def continuation_hopf_po(br, ind_hopf: int, contparams: ContinuationPar,
     gamma = continuation(po_prob, alg, cp, kind="PeriodicOrbitCont",
                          **kwargs)
     return Branch(gamma=gamma, bp=hp)
+
+
+def continuation_from_hopf_point(br_hopf, ind_pt: int,
+                                 contparams: ContinuationPar, disc=None,
+                                 alg=None, lens=None, delta_p: float = None,
+                                 ampfactor: float = 1.0, use_cop: bool = False,
+                                 **kwargs) -> Branch:
+    """Branch switching from a point ON a codim-2 Hopf curve to the periodic
+    orbits emanating from it (ref continuation_from_hopf_point,
+    src/periodicorbit/PeriodicOrbits.jl:530-601).
+
+    `br_hopf` is a curve produced by `continuation_hopf` (run it with
+    `save_sol_every_step=1` so the curve points are stored); `ind_pt` indexes
+    its saved solutions; `lens` is the parameter axis for the PO continuation
+    (default: the Hopf curve's second parameter, as the reference)."""
+    from ..normal_forms.codim1 import hopf_normal_form_point
+
+    gamma = br_hopf.gamma if isinstance(br_hopf, Branch) else br_hopf
+    maprob = gamma.prob
+    if getattr(maprob, "ma_kind", None) != "hopf":
+        raise ValueError("br_hopf must be a codim-2 Hopf curve "
+                         "(continuation_hopf result)")
+    if not gamma.sol:
+        raise ValueError("the Hopf curve stored no solutions; rerun "
+                         "continuation_hopf with save_sol_every_step=1")
+    prob_vf = maprob.inner_prob
+    n = maprob.n_inner
+    sol = gamma.sol[ind_pt]
+    X = np.asarray(sol["x"])
+    p2 = float(sol["p"])
+    x, p1, omega = X[:n], float(X[n]), float(X[n + 1])
+
+    params = maprob.outer_lens.set(prob_vf.params, p2)
+    params = maprob.inner_lens.set(params, p1)
+    lens = lens if lens is not None else maprob.outer_lens
+    prob_pt = prob_vf.re_make(u0=maprob.unravel_inner(jnp.asarray(x)),
+                              params=params, lens=lens)
+    p0 = prob_pt.get_lens_param(params)
+    hp = hopf_normal_form_point(prob_pt, prob_pt.u0, p0, abs(omega))
+    disc = disc or Collocation(Ntst=20, m=4)
+    return _continuation_hopf_pred(prob_pt, hp, contparams, disc, alg=alg,
+                                   delta_p=delta_p, ampfactor=ampfactor,
+                                   use_cop=use_cop, **kwargs)
 
 
 def get_periodic_orbit(br_po, idx: int = -1):
