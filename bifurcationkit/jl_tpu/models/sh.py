@@ -136,6 +136,44 @@ def swift_hohenberg_periodic_2d(N: int = 512, L: float = 16 * np.pi,
     return prob
 
 
+def mittelmann(Nx: int = 30, Ny: int = 30, lx: float = 0.5, ly: float = 0.5,
+               lam: float = 0.01):
+    """Mittelmann's 2D Gelfand-Bratu problem (ref examples/mittleman.jl:14-82):
+    F(u) = Delta u - 10 (u - lam e^u) with the modified-corner Neumann
+    Laplacian on [-lx,lx] x [-ly,ly].  The square's symmetry makes the
+    branch points 2d — the reference's showcase for Nd normal forms,
+    `multicontinuation` and automatic bifurcation diagrams.
+
+    State is the (Nx, Ny) field; `record_from_solution` provides the
+    reference's symmetry-breaking weighted norm `nw` (ref mittleman.jl:7,73)
+    so distinct sheets separate in diagram plots."""
+    hx2 = (2 * lx / Nx) ** 2
+    hy2 = (2 * ly / Ny) ** 2
+
+    def lap(u):
+        return _lap_neumann(u, hx2, 0) + _lap_neumann(u, hy2, 1)
+
+    def F(u, par):
+        return lap(u) - 10.0 * (u - par["lam"] * jnp.exp(u))
+
+    X = np.linspace(-lx, lx, Nx)
+    Y = np.linspace(-ly, ly, Ny)
+    w = (lx + X)[:, None] * Y[None, :]
+    w = jnp.asarray(w - w.min())
+
+    def record(x, p, **k):
+        flat = x.ravel()
+        return {"param": p,
+                "nw": jnp.linalg.norm(flat * w.ravel())
+                / np.sqrt(flat.shape[0]),
+                "norm": jnp.linalg.norm(flat),
+                "n_inf": jnp.max(jnp.abs(flat))}
+
+    return BifurcationProblem(F, u0=jnp.zeros((Nx, Ny)),
+                              params={"lam": lam}, lens="lam",
+                              record_from_solution=record)
+
+
 def swift_hohenberg_3d(N: int = 22, L: float = 2 * np.pi,
                        l: float = -0.1, nu: float = 1.2):
     """SH3d (ref examples/SH3d.jl:69): N^3 state."""

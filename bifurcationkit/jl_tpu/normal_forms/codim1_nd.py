@@ -161,37 +161,81 @@ def nd_branch_predictors(bp: NdBranchPoint, ds: float,
     N = len(nf["a01"])
     rng = np.random.default_rng(seed)
     preds = []
+
+    # characteristic root radii from the dominant balances of the reduced
+    # equation: |b11 dp x| ~ |b20| x^2 / 2 (transcritical-like) and
+    # ~ |b30| x^3 / 6 (pitchfork-like).  At symmetric (e.g. square-domain)
+    # points b20 vanishes and the roots sit at the CUBIC radius, far outside
+    # O(sqrt(ds)) — starts must cover all balances or Newton collapses onto
+    # the trivial root.
+    nb11 = max(np.abs(nf["b11"]).max(), 1e-16)
+    nb20 = np.abs(nf["b20"]).max()
+    nb30 = np.abs(nf["b30"]).max()
+    adp = abs(ds)
+    scales = [np.sqrt(adp) + adp]
+    if nb20 > 1e-14:
+        scales.append(2.0 * nb11 * adp / nb20)
+    if nb30 > 1e-14:
+        scales.append(np.sqrt(6.0 * nb11 * adp / nb30))
+    scales = [s for s in scales if np.isfinite(s) and 1e-12 < s < 1e8]
+    max_scale = max(scales)
+
+    def _deflated_step(x, roots, dp):
+        """One Newton step on M(x) g(x) with M = prod(1/||x-r||^2 + 1) over
+        known roots INCLUDING the trivial one (ref: the reference solves the
+        reduced equation with DeflationOperator-wrapped Newton,
+        src/bifdiagram/BranchSwitching.jl:257-287)."""
+        g = reduced_equation(nf, x, dp)
+        J = _reduced_jac(nf, x, dp)
+        M = 1.0
+        gradM = np.zeros(N)
+        for r in [np.zeros(N)] + roots:
+            d = x - r
+            d2 = float(d @ d)
+            if d2 < 1e-24:
+                return None
+            f = 1.0 / d2 + 1.0
+            M *= f
+            gradM = gradM + (-2.0 / (d2 * d2 * f)) * d
+        gradM = M * gradM
+        Jd = M * J + np.outer(g, gradM)
+        try:
+            dx = np.linalg.solve(Jd, M * g)
+        except np.linalg.LinAlgError:
+            return None
+        return x - dx
+
     for dp in (abs(ds), -abs(ds)):
         roots: List[np.ndarray] = []
-        scale = np.sqrt(abs(ds)) + abs(ds)
-        # deterministic starts on all sign patterns (catches symmetric roots),
-        # then random restarts
         starts = []
         if N <= 4:
             from itertools import product
 
             for sigma in product((-1.0, 0.0, 1.0), repeat=N):
                 if any(s != 0 for s in sigma):
-                    starts.append(np.asarray(sigma) * scale)
-        starts += [rng.standard_normal(N) * scale for _ in range(n_trials)]
+                    for s_ in scales:
+                        starts.append(np.asarray(sigma) * s_)
+        for s_ in scales:
+            starts += [rng.standard_normal(N) * s_ for _ in range(n_trials)]
         for x in starts:
             if perturb is not None:
                 x = perturb(x)
-            for _ in range(100):
-                g = reduced_equation(nf, x, dp)
-                # deflate known roots and the trivial one
-                J = _reduced_jac(nf, x, dp)
-                try:
-                    dx = np.linalg.solve(J, g)
-                except np.linalg.LinAlgError:
+            ok = True
+            for _ in range(200):
+                xn = _deflated_step(x, roots, dp)
+                if xn is None:
+                    ok = False
                     break
-                x = x - dx
-                if np.linalg.norm(dx) < 1e-12:
+                step = np.linalg.norm(xn - x)
+                x = xn
+                if step < 1e-12:
                     break
+            if not ok:
+                continue
             if np.linalg.norm(reduced_equation(nf, x, dp)) < 1e-9 \
-                    and np.linalg.norm(x) > 1e-8 * scale \
-                    and np.linalg.norm(x) < 100 * scale:
-                if not any(np.linalg.norm(x - r) < 1e-6 * max(1, scale)
+                    and np.linalg.norm(x) > 1e-8 * max_scale \
+                    and np.linalg.norm(x) < 100 * max_scale:
+                if not any(np.linalg.norm(x - r) < 1e-6 * max(1, max_scale)
                            for r in roots):
                     roots.append(x)
         for r in roots:

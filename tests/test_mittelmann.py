@@ -1,0 +1,69 @@
+"""Mittelmann 2D Gelfand-Bratu problem (ref examples/mittleman.jl): the
+reference's showcase for Nd branch points, `multicontinuation` and the
+automatic bifurcation diagram.  Flat states solve u = lam*e^u exactly
+(Neumann BCs), so the primary fold sits at lam = 1/e — a mesh-independent
+gold value."""
+import numpy as np
+import pytest
+
+import bifurcationkit.jl_tpu as bk
+from bifurcationkit.jl_tpu import models
+from bifurcationkit.jl_tpu.normal_forms.branch_switch import (
+    continuation_from_bp, multicontinuation)
+
+
+@pytest.fixture(scope="module")
+def mit_branch():
+    prob = models.mittelmann(Nx=20, Ny=20)
+    cp = bk.ContinuationPar(ds=0.005, dsmax=0.05, dsmin=1e-4, p_min=0.01,
+                            p_max=3.5, max_steps=150, detect_bifurcation=3,
+                            nev=16, n_inversion=6, tol_stability=1e-6,
+                            newton_options=bk.NewtonPar(tol=1e-9,
+                                                        max_iterations=20))
+    return prob, bk.continuation(prob, bk.PALC(), cp)
+
+
+def test_mittelmann_special_points(mit_branch):
+    """Fold at lam = 1/e exactly; first three bifurcation points on the flat
+    branch with 1d/2d/1d kernels (ref mittleman.jl tutorial; 30x30 values
+    0.36788/0.27256/0.15215)."""
+    prob, br = mit_branch
+    folds = [sp.param for sp in br.specialpoint if sp.type == "fold"]
+    assert folds and abs(folds[0] - np.exp(-1.0)) < 1e-4
+    kinds = [(sp.type, round(sp.param, 3)) for sp in br.specialpoint
+             if sp.type in ("bp", "nd")]
+    # (bp at the fold), nd(2) from the square symmetry, then a simple bp
+    assert ("nd", 0.273) in kinds
+    assert any(t == "bp" and abs(p - 0.152) < 5e-3 for t, p in kinds)
+
+
+def test_mittelmann_multicontinuation_d4(mit_branch):
+    """The 2d branch point on the square splits into the D4 pattern: 4
+    stripe roots on one side of lam, 4 diagonal roots on the other
+    (ref multicontinuation, src/bifdiagram/BranchSwitching.jl:234-441)."""
+    prob, br = mit_branch
+    ind_nd = [i for i, sp in enumerate(br.specialpoint)
+              if sp.type == "nd"][0]
+    cp2 = br.contparams.replace(ds=0.001, max_steps=12, detect_bifurcation=0,
+                                save_sol_every_step=1)
+    nf, branches = multicontinuation(br, ind_nd, cp2)
+    assert nf.N == 2
+    assert len(branches) == 8
+    # every switched branch converged away from the flat state: the field
+    # must be non-constant
+    for b in branches:
+        x = np.asarray(b.gamma.sol[-1]["x"])
+        assert np.ptp(x) > 1e-4
+
+
+def test_mittelmann_simple_bp_switch(mit_branch):
+    """aBS at the simple branch point near lam=0.152 yields a non-flat
+    branch (symmetry-broken state)."""
+    prob, br = mit_branch
+    ind_bp = [i for i, sp in enumerate(br.specialpoint)
+              if sp.type == "bp" and abs(sp.param - 0.152) < 5e-3][0]
+    cp2 = br.contparams.replace(ds=0.001, max_steps=12, detect_bifurcation=0,
+                                save_sol_every_step=1)
+    b = continuation_from_bp(br, ind_bp, cp2)
+    x = np.asarray(b.gamma.sol[-1]["x"])
+    assert np.ptp(x) > 1e-4
