@@ -88,7 +88,9 @@ def swift_hohenberg_2d(Nx: int = 151, Ny: int = 100, lx: float = 8 * np.pi,
         return _jax.scipy.fft.idct(v, type=2, norm="ortho", axis=0)
 
     def precond(v, shift=1.0):
-        return idct2(dct2(v) / (sym - shift))
+        shp = v.shape
+        out = idct2(dct2(v.reshape(sym.shape)) / (sym - shift))
+        return out.reshape(shp)
 
     object.__setattr__(prob, "spectral_precond", precond)
     return prob
@@ -174,9 +176,13 @@ def mittelmann(Nx: int = 30, Ny: int = 30, lx: float = 0.5, ly: float = 0.5,
                               record_from_solution=record)
 
 
-def swift_hohenberg_3d(N: int = 22, L: float = 2 * np.pi,
-                       l: float = -0.1, nu: float = 1.2):
-    """SH3d (ref examples/SH3d.jl:69): N^3 state."""
+def swift_hohenberg_3d(N: int = 22, L: float = np.pi,
+                       l: float = 0.1, nu: float = 1.2, seed: int = 0):
+    """SH3d (ref examples/SH3d.jl:69-124): N^3 state, hexagonal-lattice
+    initial guess `1.2 * normalized(cos x cos y)`, record (n2, n8, nw) as
+    the reference.  Carries the exact DCT-II spectral preconditioner
+    (the Neumann analog of the reference's cholesky((I+Delta)^2) at :91)
+    and analytic d2F/d3F (ref :63-64)."""
     h = 2 * L / N
     h2 = h * h
 
@@ -189,9 +195,62 @@ def swift_hohenberg_3d(N: int = 22, L: float = 2 * np.pi,
         L1u = v + lap(v)
         return -L1u + par["l"] * u + par["nu"] * u * u - u ** 3
 
-    X = np.linspace(-L, L, N, endpoint=False)
-    sol0 = (np.cos(X)[:, None, None] * np.cos(X)[None, :, None]
-            * np.cos(X)[None, None, :])
+    def d2F(u, par, dx1, dx2):
+        return (2 * par["nu"] * dx2 - 6 * dx2 * u) * dx1
 
-    return BifurcationProblem(F, u0=jnp.asarray(sol0),
-                              params={"l": l, "nu": nu}, lens="l")
+    def d3F(u, par, dx1, dx2, dx3):
+        return -6 * dx1 * dx2 * dx3
+
+    # ref SH3d.jl:74-81: hexa guess from cos(x)cos(y), shifted/normalized
+    X = -L + 2 * L / N * np.arange(N)
+    sol0 = np.broadcast_to(
+        (np.cos(X)[:, None] * np.cos(X)[None, :])[:, :, None],
+        (N, N, N)).copy()
+    sol0 = sol0 - sol0.min()
+    sol0 = sol0 / sol0.max() * 1.2
+
+    rng = np.random.default_rng(seed)
+    w = jnp.asarray(rng.random((N, N, N)))
+
+    def record(x, p, **k):
+        flat = x.ravel()
+        return {"param": p, "norm": jnp.linalg.norm(flat),
+                "n8": jnp.power(jnp.sum(flat ** 8), 1.0 / 8),
+                "nw": jnp.linalg.norm(flat * w.ravel())
+                / np.sqrt(flat.shape[0])}
+
+    prob = BifurcationProblem(F, u0=jnp.asarray(sol0),
+                              params={"l": l, "nu": nu}, lens="l",
+                              d2F_user=d2F, d3F_user=d3F,
+                              record_from_solution=record)
+
+    # DCT-II diagonalizes the modified-corner Neumann second difference in
+    # each axis, so (-(I+Delta)^2 - shift)^{-1} is exactly diagonal in the
+    # 3D cosine basis
+    lam1 = 2 * (np.cos(np.pi * np.arange(N) / N) - 1) / h2
+    sym = -(1.0 + lam1[:, None, None] + lam1[None, :, None]
+            + lam1[None, None, :]) ** 2
+    sym = jnp.asarray(sym)
+
+    def dct3(u):
+        import jax as _jax
+
+        for ax in range(3):
+            u = _jax.scipy.fft.dct(u, type=2, norm="ortho", axis=ax)
+        return u
+
+    def idct3(u):
+        import jax as _jax
+
+        for ax in range(2, -1, -1):
+            u = _jax.scipy.fft.idct(u, type=2, norm="ortho", axis=ax)
+        return u
+
+    def precond(v, shift=1.0):
+        # the eigensolver path hands over raveled vectors
+        shp = v.shape
+        out = idct3(dct3(v.reshape(sym.shape)) / (sym - shift))
+        return out.reshape(shp)
+
+    object.__setattr__(prob, "spectral_precond", precond)
+    return prob
