@@ -1,5 +1,6 @@
 from .equilibria import (brusselator_1d, cgl2d, chan, co_oxidation, freire,
                          hopf_normal_2d, lorenz84, lure, pitchfork_1d,
-                         stuart_landau, transcritical_1d, tsodyks_markram)
+                         stuart_landau, swift_hohenberg_1d, transcritical_1d,
+                         tsodyks_markram)
 from .sh import (mittelmann, swift_hohenberg_2d, swift_hohenberg_3d,
                  swift_hohenberg_periodic_2d)

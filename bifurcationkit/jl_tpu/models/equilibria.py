@@ -171,6 +171,47 @@ def freire(nu: float = -0.9, beta: float = 0.5, gamma: float = -0.6,
         lens="nu")
 
 
+def swift_hohenberg_1d(n: int = 200, l_dom: float = 6.0, lam: float = -0.1,
+                       nu: float = 2.0, seed: int = 0):
+    """1D quintic Swift-Hohenberg (ref examples/SHpde_snaking.jl:7-35):
+    F = -(I+D2)^2 u + lam u + nu u^3 - u^5 with the plain (Dirichlet-closure)
+    second difference, localized-pattern guess 1.1 cos(x) — the reference's
+    homoclinic-snaking workload for `bifurcationdiagram` and `DefCont`."""
+    X = -l_dom + 2 * l_dom / n * np.arange(n)
+    h2 = (X[1] - X[0]) ** 2
+
+    def lap(u):
+        # Dirichlet closure: zero-pad + slice (ref spdiagm, :16 — corners
+        # NOT modified, unlike the Neumann models)
+        up = jnp.pad(u, (1, 1))
+        return (up[:-2] - 2 * u + up[2:]) / h2
+
+    def F(u, par):
+        v = u + lap(u)
+        L1u = v + lap(v)
+        return -L1u + par["lam"] * u + par["nu"] * u ** 3 - u ** 5
+
+    def d2F(u, par, dx1, dx2):
+        return (par["nu"] * 6 * u - 5 * 4 * u ** 3) * dx1 * dx2
+
+    def d3F(u, par, dx1, dx2, dx3):
+        return (par["nu"] * 6 - 5 * 4 * 3 * u ** 2) * dx1 * dx2 * dx3
+
+    rng = np.random.default_rng(seed)
+    w = jnp.asarray(rng.random(n))
+    sol0 = 1.1 * np.cos(X)
+
+    def record(x, p, **k):
+        return {"param": p, "norm": jnp.linalg.norm(x),
+                "nw": jnp.linalg.norm(w * x), "s": jnp.sum(x),
+                "s2": x[n // 2], "s4": x[n // 4]}
+
+    return BifurcationProblem(F, u0=jnp.asarray(sol0),
+                              params={"lam": lam, "nu": nu}, lens="lam",
+                              d2F_user=d2F, d3F_user=d3F,
+                              record_from_solution=record)
+
+
 def tsodyks_markram(params=None):
     """Tsodyks-Markram neural-mass model (ref examples/TMModel.jl:8-20):
     E-x-u synaptic dynamics with a firing-rate softplus.  The equilibrium
