@@ -82,9 +82,32 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
             x, rf, r, k, itl, keep = c
             J = jac(x, par)
             du, cv, itlin = ls(J, rf)
-            x = tree_sub(x, du)
-            rf = prob.residual(x, par)
-            r = norm(rf)
+            if nopts.linesearch:
+                # Armijo halving (ref the linesearch branch of _newton,
+                # src/Newton.jl): halve the damping until the residual
+                # decreases (or alpha_min); accept the last trial otherwise
+                x1 = tree_axpy(-nopts.alpha, du, x)
+                rf1 = prob.residual(x1, par)
+                r1 = norm(rf1)
+
+                def cond_a(s):
+                    alpha, xa, rfa, ra = s
+                    return jnp.logical_and(ra >= r,
+                                           alpha > nopts.alpha_min)
+
+                def body_a(s):
+                    alpha, xa, rfa, ra = s
+                    alpha = alpha * 0.5
+                    xa = tree_axpy(-alpha, du, x)
+                    rfa = prob.residual(xa, par)
+                    return alpha, xa, rfa, norm(rfa)
+
+                _, x, rf, r = jax.lax.while_loop(
+                    cond_a, body_a, (jnp.asarray(nopts.alpha), x1, rf1, r1))
+            else:
+                x = tree_sub(x, du)
+                rf = prob.residual(x, par)
+                r = norm(rf)
             if callback is not None:
                 keep = callback({"x": x, "residual": rf,
                                  "residual_norm": r, "p": p,

@@ -212,6 +212,41 @@ def swift_hohenberg_1d(n: int = 200, l_dom: float = 6.0, lam: float = -0.1,
                               record_from_solution=record)
 
 
+def bvam_1d(N: int = 100, lx: float = 3 * np.pi / 2, D: float = 0.08,
+            C: float = -0.2):
+    """Barrio-Varea-Aragon-Maini 1D reaction-diffusion (ref examples/pd-1d.jl
+    and Aragon et al., PRE 86 026201): Turing patterns whose oscillations
+    period-double — the reference's PD-of-periodic-orbit PDE workload.
+    State (2, N) = (u, v); Neumann modified-corner diffusion (D*Lap, Lap);
+    continued in C."""
+    h2 = (2 * lx / N) ** 2
+
+    def lap(u):
+        up = jnp.pad(u, (1, 1), mode="edge")
+        return (up[:-2] - 2 * u + up[2:]) / h2
+
+    def F(z, par):
+        u, v = z[0], z[1]
+        eta, a, b, H, Cc = (par["eta"], par["a"], par["b"], par["H"],
+                            par["C"])
+        fu = eta * (u + a * v - Cc * u * v - u * v * v)
+        gv = eta * (H * u + b * v + Cc * u * v + u * v * v)
+        return jnp.stack([par["D"] * lap(u) + fu, lap(v) + gv])
+
+    X = np.linspace(-lx, lx, N)
+    u0 = np.cos(2 * X)
+    z0 = jnp.asarray(np.stack([u0, u0]))
+
+    def record(z, p, **k):
+        return {"param": p, "norm": jnp.max(jnp.abs(z)),
+                "n2": jnp.linalg.norm(z.ravel())}
+
+    return BifurcationProblem(
+        F, u0=z0,
+        params={"eta": 1.0, "a": -1.0, "b": -1.5, "H": 3.0, "D": D, "C": C},
+        lens="C", record_from_solution=record)
+
+
 def tsodyks_markram(params=None):
     """Tsodyks-Markram neural-mass model (ref examples/TMModel.jl:8-20):
     E-x-u synaptic dynamics with a firing-rate softplus.  The equilibrium

@@ -453,10 +453,16 @@ def bp_po_branch_switch(br_po, ind_bp, contparams, ampfactor: float = 0.1,
 
 
 def pd_branch_switch(br_po, ind_pd, contparams, ampfactor: float = 0.1,
-                     delta_p: float = 0.0, alg=None, **kwargs) -> Branch:
+                     delta_p: float = None, alg=None, **kwargs) -> Branch:
     """aBS at a PD point: double-period orbit guess = orbit traversed twice
     perturbed by +/- the PD eigenfunction (ref PO->PO branching,
-    PeriodicOrbits.jl:626-709)."""
+    PeriodicOrbits.jl:626-709).
+
+    `delta_p` defaults to contparams.ds (the reference's default): AT the PD
+    point the doubled problem is singular (the squared PD multiplier joins
+    the trivial +1), so the jump must step off the point."""
+    if delta_p is None:
+        delta_p = contparams.ds
     from .orbits import continuation_po
 
     gamma = br_po.gamma if isinstance(br_po, Branch) else br_po
@@ -480,14 +486,33 @@ def pd_branch_switch(br_po, ind_pd, contparams, ampfactor: float = 0.1,
     phi0 = np.array(np.real(np.asarray(vecs)[:, i0]))
     phi0 /= np.linalg.norm(phi0)
 
+    # propagate the eigenfunction along the orbit with the per-interval
+    # fundamental maps: the TIME-DEPENDENT antiperiodic Floquet mode
+    # phi(t_{j+1}) = M_j phi(t_j), phi(T) = -phi(0).  A time-constant
+    # perturbation is mostly orthogonal to the emerging period-2 branch and
+    # Newton falls back onto the doubled period-1 orbit.
+    maps = np.asarray(disc.interval_maps(prob_vf, X, par))
+    phis = [phi0]
+    for j in range(disc.Ntst):
+        phis.append(maps[j] @ phis[-1])
+    phis = np.stack(phis)                      # (Ntst+1, n) mesh boundaries
+    phis /= max(np.abs(phis).max(), 1e-300)
+
+    # interpolate onto the local nodes (node j*m+i at fraction i/m)
+    m = disc.m
+    fr = (np.arange(m) / m)[None, :, None]
+    phi_nodes = ((1 - fr) * phis[:-1, None, :]
+                 + fr * phis[1:, None, :]).reshape(-1, n)  # (Ntst*m, n)
+    phi_nodes = np.concatenate([phi_nodes, phis[-1:]], axis=0)
+
     # double orbit: second copy perturbed with the opposite sign so the
     # doubled loop closes (antiperiodic eigenfunction)
     nodes_np = np.asarray(nodes)
     scale = ampfactor * float(np.linalg.norm(nodes_np[0]) + 1.0)
-    first = nodes_np[:-1] + scale * phi0[None, :]
-    second = nodes_np[:-1] - scale * phi0[None, :]
-    doubled = np.concatenate([first, second, nodes_np[:1] + scale * phi0],
-                             axis=0)
+    first = nodes_np[:-1] + scale * phi_nodes[:-1]
+    second = nodes_np[:-1] - scale * phi_nodes[:-1]
+    doubled = np.concatenate(
+        [first, second, nodes_np[:1] + scale * phi_nodes[:1]], axis=0)
     disc2 = Collocation(Ntst=2 * disc.Ntst, m=disc.m)
     X2 = disc2.pack(jnp.asarray(doubled), 2 * T)
 

@@ -41,6 +41,24 @@ def periodic_orbit_problem(prob_vf: BifurcationProblem, disc, X0,
     params = prob_vf.params if params is None else params
     flatvf, unravel_vf = ravel(prob_vf.u0)
     n = flatvf.shape[0]
+    # the PO machinery works on raveled states throughout; flatten structured
+    # vector fields (e.g. (2, N) reaction-diffusion states) once here
+    if getattr(prob_vf.u0, "ndim", None) != 1:
+        base = prob_vf
+
+        def F_flat(x, par):
+            return ravel(base.F(unravel_vf(x), par))[0]
+
+        kw = {"F": F_flat, "u0": flatvf}
+        if base.d2F_user is not None:
+            kw["d2F_user"] = lambda x, par, d1, d2: ravel(
+                base.d2F_user(unravel_vf(x), par, unravel_vf(d1),
+                              unravel_vf(d2)))[0]
+        if base.d3F_user is not None:
+            kw["d3F_user"] = lambda x, par, d1, d2, d3: ravel(
+                base.d3F_user(unravel_vf(x), par, unravel_vf(d1),
+                              unravel_vf(d2), unravel_vf(d3)))[0]
+        prob_vf = base.re_make(**kw)
     expected = disc.unknown_size(n)
     if X0.shape[0] != expected:
         raise ValueError(
