@@ -38,6 +38,9 @@ class DefCont:
     max_new_branches: int = 3
     perturb_factor: float = 0.015
     accept_solution: Optional[Callable] = None
+    # custom start-point perturbation for the new-branch seek,
+    # (sol, p, id) -> x0 (ref the perturb_solution kwarg, DefCont :14-58)
+    perturb_solution: Optional[Callable] = None
     seed: int = 42
 
 
@@ -150,9 +153,12 @@ def deflated_continuation(prob, alg: DefCont,
                 if not b["active"] or found >= alg.max_new_branches:
                     continue
                 defl.roots = [bb["sol"] for bb in branches if bb["active"]]
-                rng_key, sub = jax.random.split(rng_key)
-                pert = tree_randn_like(sub, b["sol"])
-                x0 = tree_axpy(alg.perturb_factor, pert, b["sol"])
+                if alg.perturb_solution is not None:
+                    x0 = alg.perturb_solution(b["sol"], p_new, i)
+                else:
+                    rng_key, sub = jax.random.split(rng_key)
+                    pert = tree_randn_like(sub, b["sol"])
+                    x0 = tree_axpy(alg.perturb_factor, pert, b["sol"])
                 sol = deflated_newton(prob, defl, cp.newton_options,
                                       x0=x0, params=params_new)
                 if bool(sol.converged):

@@ -18,7 +18,6 @@ from ..detection.points import SpecialPoint
 
 @dataclasses.dataclass
 class ContResult:
-    branch: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
     eig: List[dict] = dataclasses.field(default_factory=list)
     sol: List[dict] = dataclasses.field(default_factory=list)
     specialpoint: List[SpecialPoint] = dataclasses.field(default_factory=list)
@@ -29,19 +28,27 @@ class ContResult:
 
     # internal accumulation
     _records: List[dict] = dataclasses.field(default_factory=list)
+    _branch_cache: Dict[str, np.ndarray] = dataclasses.field(
+        default_factory=dict)
 
     # --- recording -------------------------------------------------------
     def append(self, record: dict):
         self._records.append(record)
         # keep the dict-of-arrays view fresh & cheap (rebuild lazily)
-        self.branch = {}
+        self._branch_cache = {}
+
+    @property
+    def branch(self) -> Dict[str, np.ndarray]:
+        """Struct-of-arrays branch table (the reference's StructArray view,
+        ref src/Results.jl:74-114); built lazily from the records."""
+        return self._table()
 
     def _table(self) -> Dict[str, np.ndarray]:
-        if not self.branch and self._records:
+        if not self._branch_cache and self._records:
             keys = self._records[0].keys()
-            self.branch = {k: np.asarray([r[k] for r in self._records])
-                           for k in keys}
-        return self.branch
+            self._branch_cache = {
+                k: np.asarray([r[k] for r in self._records]) for k in keys}
+        return self._branch_cache
 
     # --- accessors (ref src/Results.jl getters) --------------------------
     def __len__(self):

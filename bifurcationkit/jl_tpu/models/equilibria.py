@@ -30,6 +30,44 @@ def chan(n: int = 101, alpha: float = 3.3, beta: float = 0.01):
                               lens="alpha")
 
 
+def carrier(N: int = 200, eps: float = 0.7):
+    """Carrier singular-perturbation BVP (ref examples/carrier.jl:7-43):
+    eps^2 u'' + 2(1 - x^2) u + u^2 = 1 on (-1, 1), u(+-1) = 0, continued
+    in eps.  The deflated-continuation flagship: disconnected
+    boundary-layer branches multiply as eps -> 0.  Ships the analytic
+    tridiagonal jacobian (the reference's BandedMatrix Jac_carr) to
+    exercise the user-J path."""
+    X = np.linspace(-1.0, 1.0, N)
+    dx = X[1] - X[0]
+    Xj = jnp.asarray(X)
+
+    def F(u, par):
+        e = par["eps"]
+        upp = (jnp.roll(u, 1) - 2 * u + jnp.roll(u, -1)) / dx ** 2
+        f = e ** 2 * upp + 2 * (1 - Xj ** 2) * u + u ** 2 - 1.0
+        # Dirichlet rows overwrite the wrapped stencil contributions
+        f = f.at[0].set(u[0])
+        f = f.at[-1].set(u[-1])
+        return f
+
+    def jac(u, par):
+        e = par["eps"]
+        c = e ** 2 / dx ** 2
+        main = -2.0 * c + 2 * (1 - Xj ** 2) + 2 * u
+        J = (jnp.diag(main) + c * jnp.eye(N, k=1) + c * jnp.eye(N, k=-1))
+        J = J.at[0, :].set(0.0).at[0, 0].set(1.0)
+        J = J.at[-1, :].set(0.0).at[-1, -1].set(1.0)
+        return J
+
+    def record(u, p, **k):
+        return {"param": p, "s": dx * jnp.sum(u ** 2),
+                "norminf": jnp.max(jnp.abs(u))}
+
+    return BifurcationProblem(F, u0=jnp.zeros(N), params={"eps": eps},
+                              lens="eps", jac=jac,
+                              record_from_solution=record)
+
+
 def transcritical_1d(p: float = -0.5):
     """F(u, p) = p*u - u^2: transcritical branch point at (0, 0)."""
 

@@ -24,6 +24,45 @@ def _rk4_step(f, u, t, dt, params):
     return u + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
 
 
+def _rodas3_step(f, u, t, dt, params):
+    """One fixed-step RODAS3 step: 4-stage, order-3, L-stable, stiffly
+    accurate linearly-implicit Rosenbrock (coefficients per Sandu et al.
+    1997).  Replaces the reference's stiff SciML solvers (Rodas4P/QNDF in
+    examples/brusselatorShooting.jl:165-171) for shooting on stiff PDE
+    flows.  One dense LU of (I/(dt*gamma) - J) per step + four back-solves
+    — MXU-friendly and vmap/jacfwd-compatible (monodromy via forward AD
+    goes through the LU solves)."""
+    gamma = 0.5
+    n = u.shape[0]
+    J = jax.jacfwd(lambda x: f(x, params))(u)
+    W = jnp.eye(n, dtype=u.dtype) / (dt * gamma) - J
+    lu_piv = jax.scipy.linalg.lu_factor(W)
+
+    def solve(rhs):
+        return jax.scipy.linalg.lu_solve(lu_piv, rhs)
+
+    f1 = f(u, params)
+    k1 = solve(f1)
+    k2 = solve(f1 + (4.0 / dt) * k1)
+    f3 = f(u + 2.0 * k1, params)
+    k3 = solve(f3 + (k1 - k2) / dt)
+    f4 = f(u + 2.0 * k1 + k3, params)
+    k4 = solve(f4 + (k1 - k2 - (8.0 / 3.0) * k3) / dt)
+    return u + 2.0 * k1 + k3 + k4
+
+
+_STEPPERS = {"dopri5": None, "rk4": _rk4_step, "rodas3": _rodas3_step}
+
+
+def _get_step(method: str):
+    if method == "dopri5":
+        return _dopri5_step
+    if method not in _STEPPERS:
+        raise ValueError(f"unknown flow method '{method}' "
+                         f"(available: {sorted(_STEPPERS)})")
+    return _STEPPERS[method]
+
+
 def _dopri5_step(f, u, t, dt, params):
     """One Dormand-Prince 5(4) step (fixed step, 5th-order solution)."""
     a21 = 1 / 5
@@ -56,7 +95,7 @@ class Flow:
     method: str = "dopri5"
 
     def __call__(self, u0, params, T):
-        step = _dopri5_step if self.method == "dopri5" else _rk4_step
+        step = _get_step(self.method)
         dt = T / self.steps
 
         def body(u, i):
@@ -68,7 +107,7 @@ class Flow:
     def trajectory(self, u0, params, T, n_save: int):
         """Orbit samples at n_save+1 equispaced times in [0, T]."""
         sub = self.steps // n_save
-        step = _dopri5_step if self.method == "dopri5" else _rk4_step
+        step = _get_step(self.method)
         dt = T / (sub * n_save)
 
         def seg(u, i):

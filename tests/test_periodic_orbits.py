@@ -220,3 +220,34 @@ def test_poincare_shooting_newton():
     sol = bk.newton(po, bk.NewtonPar(tol=1e-10, max_iterations=30))
     assert bool(sol.converged)
     assert float(disc.period(sol.u)) == pytest.approx(PERIOD, rel=1e-7)
+
+
+def test_rodas3_stiff_flow():
+    """RODAS3 fixed-step Rosenbrock (the stiff-flow replacement for the
+    reference's Rodas4P/QNDF in brusselatorShooting.jl): 3rd-order accurate
+    on a smooth flow, L-stable on a stiff one, and AD-differentiable
+    (monodromy through the LU solves)."""
+    from bifurcationkit.jl_tpu.periodic.flow import Flow
+
+    def F(u, p):
+        x, y = u[0], u[1]
+        r2 = x * x + y * y
+        return jnp.array([x - y - x * r2, x + y - y * r2])
+
+    u0 = jnp.array([0.3, 0.1])
+    ref = Flow(F, steps=20000, method="dopri5")(u0, None, 5.0)
+    e1 = float(jnp.linalg.norm(Flow(F, steps=200, method="rodas3")(
+        u0, None, 5.0) - ref))
+    e2 = float(jnp.linalg.norm(Flow(F, steps=400, method="rodas3")(
+        u0, None, 5.0) - ref))
+    assert e1 < 2e-6
+    assert e1 / e2 > 5.0          # -> 8 for order 3
+
+    # L-stability: lambda*dt = 1e4 decays to 0 instead of exploding
+    out = Flow(lambda u, p: -1e6 * u, steps=100,
+               method="rodas3")(jnp.array([1.0]), None, 1.0)
+    assert abs(float(out[0])) < 1e-12
+
+    M = Flow(F, steps=60, method="rodas3").monodromy(u0, None, 2.0)
+    Mref = Flow(F, steps=5000, method="dopri5").monodromy(u0, None, 2.0)
+    assert float(jnp.abs(M - Mref).max()) < 1e-4
