@@ -1,5 +1,5 @@
 from .equilibria import (brusselator_1d, bvam_1d, carrier, cgl2d, chan,
-                         co_oxidation, freire,
+                         chan_spectral, co_oxidation, freire,
                          hopf_normal_2d, lorenz84, lure, pitchfork_1d,
                          stuart_landau, swift_hohenberg_1d, transcritical_1d,
                          tsodyks_markram)

@@ -30,6 +30,41 @@ def chan(n: int = 101, alpha: float = 3.3, beta: float = 0.01):
                               lens="alpha")
 
 
+def chan_spectral(N: int = 31, alpha: float = 3.3, beta: float = 0.01):
+    """Chan BVP discretized by CHEBYSHEV COLLOCATION (the analog of the
+    reference's ApproxFun variant, ref examples/chan-af.jl): u'' + alpha *
+    Nl(u, b) = 0 on [0, 1], u(0)=u(1)=beta, with the dense spectral
+    differentiation matrix replacing the FD stencil.  Same continuum folds
+    as `chan` at far fewer dofs."""
+    # Chebyshev points and differentiation matrix on [-1, 1] (Trefethen)
+    j = np.arange(N + 1)
+    xc = np.cos(np.pi * j / N)
+    c = np.r_[2.0, np.ones(N - 1), 2.0] * (-1.0) ** j
+    Xm = np.tile(xc[:, None], (1, N + 1))
+    dX = Xm - Xm.T
+    D = np.outer(c, 1.0 / c) / (dX + np.eye(N + 1))
+    D -= np.diag(D.sum(axis=1))
+    # map [-1,1] -> [0,1]: x = (1 - xc)/2, d/dx = -2 d/dxc
+    D = -2.0 * D
+    D2 = jnp.asarray(D @ D)
+
+    def Nl(x, b, a=0.5):
+        return 1.0 + (x + a * x ** 2) / (1.0 + b * x ** 2)
+
+    def F(u, par):
+        a, b = par["alpha"], par["beta"]
+        r = D2 @ u + a * Nl(u, b)
+        r = r.at[0].set(u[0] - b)
+        r = r.at[-1].set(u[-1] - b)
+        return r
+
+    x01 = (1.0 - xc) / 2.0
+    u0 = jnp.asarray(x01 * (1 - x01) + 0.1)
+    return BifurcationProblem(F, u0=u0,
+                              params={"alpha": alpha, "beta": beta},
+                              lens="alpha")
+
+
 def carrier(N: int = 200, eps: float = 0.7):
     """Carrier singular-perturbation BVP (ref examples/carrier.jl:7-43):
     eps^2 u'' + 2(1 - x^2) u + u^2 = 1 on (-1, 1), u(+-1) = 0, continued

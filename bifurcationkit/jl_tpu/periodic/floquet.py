@@ -36,6 +36,34 @@ class FloquetEig:
         return expo[:nev], vecs[:, :nev], jnp.array(True), jnp.array(1)
 
 
+def monodromy_from_maps(maps, method: str = "assoc"):
+    """Product M = M_{Ntst-1} @ ... @ M_0 of per-interval fundamental maps
+    (the reference computes this as a sequential chain, ref Floquet.jl:
+    653-660).
+
+    method="seq":   lax.scan chain — O(Ntst) depth, minimal flops.
+    method="assoc": jax.lax.associative_scan tree product — O(log Ntst)
+      depth.  This is the time-slice-parallel "ring analog" (SURVEY §2.3):
+      with `maps` sharded over a mesh time axis, XLA lowers the tree into
+      log2(Ntst) rounds of pairwise matmuls + ICI exchanges instead of a
+      serial Ntst-long dependency chain.
+    """
+    if method == "seq":
+        def chain(M, Mi):
+            return Mi @ M, None
+
+        n = maps.shape[-1]
+        M, _ = jax.lax.scan(chain, jnp.eye(n, dtype=maps.dtype), maps)
+        return M
+
+    def compose(a, b):
+        # composition "apply a, then b" — associative
+        return jnp.einsum("...ij,...jk->...ik", b, a)
+
+    prefixes = jax.lax.associative_scan(compose, maps)
+    return prefixes[-1]
+
+
 def floquet_multipliers(disc, prob_vf, X, po_par):
     """Host-friendly: the Floquet multipliers of an orbit."""
     Mn = disc.monodromy(prob_vf, X, po_par)

@@ -247,3 +247,25 @@ def test_continuation_pytree_state():
     assert -0.6 < ps[0] < -0.2 and 0.2 < ps[1] < 0.6
     # solutions stay dict pytrees
     assert set(br.sol[0]["x"].keys()) == {"x", "y"}
+
+
+def test_chan_spectral_matches_fd_folds():
+    """Chebyshev-spectral Chan (the chan-af.jl analog: dense spectral
+    differentiation instead of the FD stencil) reproduces the FD folds to
+    ~2e-4 at a third of the dofs — the non-array-discretization genericity
+    check."""
+    folds = {}
+    for name, prob in (("fd", models.chan()),
+                       ("spectral", models.chan_spectral(N=31))):
+        sol = bk.newton(prob, bk.NewtonPar(tol=1e-11, max_iterations=30))
+        assert bool(sol.converged)
+        cp = bk.ContinuationPar(ds=0.01, dsmax=0.05, dsmin=1e-4, p_min=0.0,
+                                p_max=4.2, max_steps=200,
+                                detect_bifurcation=3, nev=6,
+                                newton_options=bk.NewtonPar(tol=1e-10))
+        br = bk.continuation(prob.re_make(u0=sol.u), bk.PALC(), cp)
+        folds[name] = sorted(sp.param for sp in br.specialpoint
+                             if sp.type == "fold")
+    assert len(folds["fd"]) == len(folds["spectral"]) == 2
+    for a, b in zip(folds["fd"], folds["spectral"]):
+        assert abs(a - b) < 1e-3

@@ -100,3 +100,21 @@ def test_sharded_sh_jv_matches_single_chip():
     out = sharded_sh_jv(mesh, u, v, scal)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-12, atol=1e-10)
+
+
+def test_time_parallel_monodromy_assoc_scan(mesh8):
+    """Tree-parallel monodromy product (the time-slice 'ring analog',
+    SURVEY §2.3): associative_scan over per-interval fundamental maps
+    sharded on the mesh time axis matches the sequential chain."""
+    from bifurcationkit.jl_tpu.periodic.floquet import monodromy_from_maps
+
+    rng = np.random.default_rng(5)
+    Ntst, n = 32, 6
+    # well-conditioned maps close to identity (like real fundamental maps)
+    maps = jnp.asarray(np.eye(n) + 0.05 * rng.standard_normal((Ntst, n, n)))
+    ref = monodromy_from_maps(maps, method="seq")
+
+    sh = NamedSharding(mesh8, P("space"))       # shard the time axis
+    maps_sh = jax.device_put(maps, sh)
+    out = jax.jit(lambda m: monodromy_from_maps(m, method="assoc"))(maps_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-11)

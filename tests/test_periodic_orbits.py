@@ -251,3 +251,28 @@ def test_rodas3_stiff_flow():
     M = Flow(F, steps=60, method="rodas3").monodromy(u0, None, 2.0)
     Mref = Flow(F, steps=5000, method="dopri5").monodromy(u0, None, 2.0)
     assert float(jnp.abs(M - Mref).max()) < 1e-4
+
+
+def test_monodromy_assoc_matches_seq_on_orbit():
+    """associative-scan monodromy == sequential chain == the
+    discretization's own monodromy, on a converged Stuart-Landau orbit."""
+    from bifurcationkit.jl_tpu.periodic.floquet import monodromy_from_maps
+    from bifurcationkit.jl_tpu.periodic.orbits import (newton_po,
+                                                       periodic_orbit_problem)
+
+    sl = models.stuart_landau()
+    disc = bk.Collocation(Ntst=25, m=4)
+    X0 = disc.generate_solution(
+        lambda t: np.array([1.05 * np.cos(t), 1.05 * np.sin(t)]),
+        5 * np.pi, 2)
+    sol, pop = newton_po(sl, disc, X0,
+                         options=bk.NewtonPar(tol=1e-10, max_iterations=15))
+    assert bool(sol.converged)
+    maps = disc.interval_maps(pop.prob_vf, sol.u, pop.params)
+    M_seq = monodromy_from_maps(maps, method="seq")
+    M_tree = monodromy_from_maps(maps, method="assoc")
+    np.testing.assert_allclose(np.asarray(M_tree), np.asarray(M_seq),
+                               atol=1e-10)
+    mult = np.sort_complex(np.linalg.eigvals(np.asarray(M_tree)))
+    # trivial multiplier 1 present
+    assert np.abs(mult - 1.0).min() < 1e-6
