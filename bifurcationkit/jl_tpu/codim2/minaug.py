@@ -166,7 +166,8 @@ def hopf_ma_problem(prob: BifurcationProblem, lens1, lens2,
         params = inner_lens.set(par["_inner"], p1)
         return prob.jacobian(unravel(x), params)
 
-    cdtype = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+    from ..linalg.eig import _complex_dtype
+    cdtype = _complex_dtype()
     maprob = BifurcationProblem(
         G, u0=None,
         params={"_inner": prob.params,

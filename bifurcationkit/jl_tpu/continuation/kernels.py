@@ -13,6 +13,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.params import ContinuationPar
 from ..core.state import (BorderedState, DotTheta, tree_axpy, tree_norm,
@@ -314,7 +315,7 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
     eig_jac = getattr(prob, "eig_jacobian", None)
 
     @jax.jit
-    def eig_kernel(u, p, params):
+    def _eig_device(u, p, params):
         par = set_p(params, p)
         if eig_jac is not None:
             J = eig_jac(u, par)
@@ -327,6 +328,27 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
             vecs = None
         return vals, vecs, cv
 
+    def _split_cplx(x):
+        # complex arrays cannot cross the TPU tunnel (axon device->host
+        # transfer of c64/c128 is unimplemented): jitted kernels hand out
+        # (re, im) float pairs and the host wrapper reassembles
+        return (jnp.real(x), jnp.imag(x)) if x is not None else None
+
+    def _join_cplx(pair):
+        if pair is None:
+            return None
+        return np.asarray(pair[0]) + 1j * np.asarray(pair[1])
+
+    @jax.jit
+    def _eig_kernel_split(u, p, params):
+        vals, vecs, cv = _eig_device(u, p, params)
+        return _split_cplx(vals), _split_cplx(vecs), cv
+
+    def eig_kernel(u, p, params):
+        """Host-facing eig: returns NUMPY complex (vals, vecs) + cv."""
+        vals_p, vecs_p, cv = _eig_kernel_split(u, p, params)
+        return _join_cplx(vals_p), _join_cplx(vecs_p), cv
+
     # ------------------------------------------------------------------
     # fused full PALC step: predictor + corrector + secant tangent + eig in
     # ONE dispatch (per-call latency over the TPU tunnel dominates the host
@@ -335,7 +357,8 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
     compute_eig_in_step = contparams.compute_eigenelements
 
     @jax.jit
-    def palc_full_step(z: BorderedState, tau: BorderedState, ds, params):
+    def _palc_full_step_split(z: BorderedState, tau: BorderedState, ds,
+                              params):
         z_pred = BorderedState(u=tree_axpy(ds, tau.u, z.u),
                                p=z.p + ds * tau.p)
         z_new, cv, itn, itl, res = palc_corrector(z_pred, z, tau, ds, params)
@@ -345,11 +368,18 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
         tau_acc = jax.tree_util.tree_map(
             lambda a, b: jnp.where(cv, a, b), tau_new, tau)
         if compute_eig_in_step:
-            vals, vecs, cv_eig = eig_kernel(z_acc.u, z_acc.p, params)
+            vals, vecs, cv_eig = _eig_device(z_acc.u, z_acc.p, params)
         else:
-            vals, vecs, cv_eig = (jnp.zeros((0,), jnp.complex64), None,
-                                  jnp.array(True))
-        return z_acc, tau_acc, cv, itn, itl, res, vals, vecs, cv_eig
+            vals, vecs, cv_eig = (jnp.zeros((0,)), None, jnp.array(True))
+        return (z_acc, tau_acc, cv, itn, itl, res, _split_cplx(vals),
+                _split_cplx(vecs), cv_eig)
+
+    def palc_full_step(z, tau, ds, params):
+        """Host-facing fused step: complex eig outputs as numpy."""
+        (z_acc, tau_acc, cv, itn, itl, res, vals_p, vecs_p,
+         cv_eig) = _palc_full_step_split(z, tau, ds, params)
+        return (z_acc, tau_acc, cv, itn, itl, res, _join_cplx(vals_p),
+                _join_cplx(vecs_p), cv_eig)
 
     return SimpleNamespace(
         newton_fixed=newton_fixed,

@@ -35,7 +35,12 @@ from .linear import apply_J, is_operator
 
 
 def _complex_dtype():
-    return jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+    """complex128 when x64 is on AND the backend supports it.  TPU has no
+    C128 (FFT/matmul/storage), so device-side complex drops to complex64
+    there — host callbacks still do their math in f64 before casting."""
+    if jax.config.jax_enable_x64 and jax.default_backend() != "tpu":
+        return jnp.complex128
+    return jnp.complex64
 
 
 def _host_eig_sorted(A):
@@ -46,10 +51,265 @@ def _host_eig_sorted(A):
     return w[order].astype(np.complex128), v[:, order].astype(np.complex128)
 
 
+def qr_eigvals(A: jnp.ndarray, iters: int = 120):
+    """Eigenvalues of a real square matrix ENTIRELY ON DEVICE — no LAPACK,
+    no host callback (the axon TPU runtime supports neither C128 nor
+    pure_callback, and XLA has no non-symmetric eig on TPU).
+
+    Explicit Francis double-shift QR iteration in real arithmetic:
+        s, t = trace/det of the trailing 2x2
+        M = A@A - s A + t I;  Q, R = qr(M);  A <- Q^T A Q
+    runs a fixed `iters` count (static shapes), with an exceptional shift
+    every 16 sweeps to break symmetric-cycle stagnation.  Eigenvalues are
+    then read off the quasi-triangular result: real 1x1 blocks and complex
+    pairs from the 2x2 blocks whose subdiagonal survived.  Returns them
+    sorted by decreasing real part (the detection layer's contract).
+
+    Accuracy ~1e-9 (f64) / ~1e-4 (f32) relative on well-separated spectra
+    — ample for stability counting, classification and bisection."""
+    n = A.shape[0]
+    if n == 1:
+        return A[0, 0].astype(_complex_dtype())[None]
+    dt = A.dtype
+    eyen = jnp.eye(n, dtype=dt)
+    idx = jnp.arange(n)
+    tol = 100 * jnp.finfo(dt).eps
+    if iters is None or iters < 8 * n:
+        iters = max(120, 8 * n)
+
+    def get(Ak, i, j):
+        return jax.lax.dynamic_slice(Ak, (i, j), (1, 1))[0, 0]
+
+    # ---- Householder reduction to Hessenberg form (on device) ----------
+    def hess_step(j, Ak):
+        x = jnp.where(idx > j, Ak[:, j], 0.0)
+        nx = jnp.linalg.norm(x)
+        xj1 = get(Ak, j + 1, j)
+        alpha = -jnp.sign(jnp.where(xj1 == 0, 1.0, xj1)) * nx
+        v = x - alpha * (idx == j + 1).astype(dt)
+        nv = jnp.linalg.norm(v)
+        v = jnp.where(nv > tol * (nx + 1.0), v / jnp.maximum(nv, 1e-300),
+                      jnp.zeros_like(v))
+        Ak = Ak - 2.0 * jnp.outer(v, v @ Ak)
+        Ak = Ak - 2.0 * jnp.outer(Ak @ v, v)
+        return Ak
+
+    H = jax.lax.fori_loop(0, n - 2, hess_step, A)
+    below = idx[:, None] > idx[None, :] + 1
+    H = jnp.where(below, 0.0, H)
+
+    # ---- implicit Francis double-shift sweeps (bulge chasing) ----------
+    # Explicit QR of p(H) breaks down exactly when a shift nears an
+    # eigenvalue (p(H) singular -> Q trailing columns arbitrary), which is
+    # every convergence event; the implicit form only ever applies 3x3
+    # Householder reflectors, the textbook-stable formulation
+    # (Golub & Van Loan Alg. 7.5.1), and preserves Hessenberg structure
+    # by construction.
+    def apply_refl(Hk, v):
+        # H <- P H P with P = I - 2 v v^T (v already normalized or zero)
+        Hk = Hk - 2.0 * jnp.outer(v, v @ Hk)
+        Hk = Hk - 2.0 * jnp.outer(Hk @ v, v)
+        return Hk
+
+    def house3(px, py, pz, j, q):
+        """Normalized Householder vector (as a full-n array, nonzeros at
+        j, j+1, j+2) annihilating (py, pz) of (px, py, pz); the third
+        component is masked away when j + 2 >= q."""
+        use3 = (j + 2 < q)
+        pz = jnp.where(use3, pz, 0.0)
+        nx = jnp.sqrt(px * px + py * py + pz * pz)
+        alpha = -jnp.sign(jnp.where(px == 0, 1.0, px)) * nx
+        v0 = px - alpha
+        nv = jnp.sqrt(v0 * v0 + py * py + pz * pz)
+        ok = nv > 1e-300
+        inv = jnp.where(ok, 1.0 / jnp.maximum(nv, 1e-300), 0.0)
+        vec3 = jnp.stack([v0, py, pz]) * inv
+        # defensive SECOND normalization: the whole sweep rides on
+        # ||v|| in {0, 1}; in the degenerate all-roundoff case
+        # (Cayley-Hamilton zero first column at a 2x2 window) compiler
+        # fusion of the chain above has been observed to yield ||v|| = 2,
+        # which turns P = I - 2vv^T into a similarity-breaking scaling.
+        # Renormalizing from vec3 itself cannot be cross-fused away.
+        nrm3 = jnp.linalg.norm(vec3)
+        vec3 = jnp.where(nrm3 > 0.5, vec3 / jnp.maximum(nrm3, 1e-300),
+                         jnp.zeros_like(vec3))
+        v = jnp.zeros((n + 2,), dt)
+        v = jax.lax.dynamic_update_slice(v, vec3, (j,))
+        return v[:n]
+
+    def sweep(k, carry):
+        Hk, q, stall = carry
+
+        qm2 = jnp.maximum(q - 2, 0)
+        blk = jax.lax.dynamic_slice(Hk, (qm2, qm2), (2, 2))
+        s = blk[0, 0] + blk[1, 1]
+        t = blk[0, 0] * blk[1, 1] - blk[0, 1] * blk[1, 0]
+        # randomized exceptional shift on long stalls (deterministic,
+        # keyed on the sweep index): breaks shift cycles
+        exc = (stall >= 12) & ((stall % 13) == 12)
+        nrm = jnp.max(jnp.where(idx < q, jnp.abs(jnp.diag(Hk)), 0.0)) + 1.0
+        r = jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(11), k),
+                              (2,), dt)
+        s = jnp.where(exc, nrm * r[0], s)
+        t = jnp.where(exc, nrm * nrm * r[1], t)
+
+        # the sweep must act on the LOWEST unreduced Hessenberg block
+        # [l, q): a negligible subdiagonal in the middle stops the bulge,
+        # so starting at row 0 would never converge the bottom block
+        diag_abs = jnp.abs(jnp.diag(Hk))
+        sub_abs = jnp.abs(jnp.concatenate([jnp.ones((1,), dt),
+                                           jnp.diag(Hk, -1)]))
+        neg = sub_abs <= tol * (diag_abs
+                                + jnp.concatenate([diag_abs[:1],
+                                                   diag_abs[:-1]]) + 1.0)
+        cand = jnp.where((idx >= 1) & (idx <= q - 2) & neg, idx, 0)
+        l = jnp.max(cand)                      # 0 if no interior split
+
+        def geth(i, j):
+            return get(Hk, jnp.clip(i, 0, n - 1), jnp.clip(j, 0, n - 1))
+
+        h00, h01 = geth(l, l), geth(l, l + 1)
+        h10, h11 = geth(l + 1, l), geth(l + 1, l + 1)
+        h21 = jnp.where(l + 2 < q, geth(l + 2, l + 1), 0.0)
+        px = h00 * h00 + h01 * h10 - s * h00 + t
+        py = h10 * (h00 + h11 - s)
+        pz = h10 * h21
+
+        H1 = apply_refl(Hk, house3(px, py, pz, l, q))
+
+        def chase(j, Hc):
+            # annihilate the bulge below the subdiagonal in column j
+            px = get(Hc, jnp.clip(j + 1, 0, n - 1), j)
+            py = get(Hc, jnp.clip(j + 2, 0, n - 1), j)
+            pz = jnp.where(j + 3 < n, get(Hc, jnp.clip(j + 3, 0, n - 1), j),
+                           0.0)
+            v = house3(px, py, pz, j + 1, q)
+            # active only inside the unreduced window [l, q)
+            v = jnp.where((j >= l) & (j + 2 < q), v, jnp.zeros_like(v))
+            return apply_refl(Hc, v)
+
+        H1 = jax.lax.fori_loop(0, jnp.maximum(q - 2, 0), chase, H1)
+        # reflectors act locally; sweep out accumulated roundoff below the
+        # subdiagonal (provably O(eps ||H||) here, unlike the explicit form)
+        H1 = jnp.where(below, 0.0, H1)
+        # skip the sweep entirely for windows that are already done
+        H1 = jnp.where(q >= 3, H1, Hk)
+
+        d_last = jnp.abs(get(H1, jnp.maximum(q - 1, 1),
+                             jnp.maximum(q - 2, 0)))
+        d_blk = jnp.abs(get(H1, jnp.maximum(q - 2, 1),
+                            jnp.maximum(q - 3, 0)))
+        sc = (jnp.abs(get(H1, jnp.maximum(q - 2, 0), jnp.maximum(q - 2, 0)))
+              + jnp.abs(get(H1, jnp.maximum(q - 1, 0),
+                            jnp.maximum(q - 1, 0))) + 1.0)
+        q_new = jnp.where(q <= 2, 0,
+                          jnp.where(d_last <= tol * sc, q - 1,
+                                    jnp.where((q >= 4) & (d_blk <= tol * sc),
+                                              q - 2, q)))
+        # q == 3 with converged block above -> deflate the trailing 2x2
+        q_new = jnp.where((q == 3) & (d_blk <= tol * sc), 1, q_new)
+        deflated = q_new < q
+        stall = jnp.where(deflated, 0, stall + 1)
+        q_new = jnp.maximum(q_new, 0)
+        return H1, q_new, stall
+
+    T, _, _ = jax.lax.fori_loop(
+        0, iters, sweep, (H, jnp.asarray(n, jnp.int32),
+                          jnp.asarray(0, jnp.int32)))
+
+    sub = jnp.concatenate([jnp.diag(T, -1), jnp.zeros((1,), dt)])
+    dabs = jnp.abs(jnp.diag(T))
+    # EXACTLY the deflation scale (|d_i| + |d_{i+1}| + 1): a borderline
+    # entry that passed deflation must also read as dead here, or a
+    # converged 1x1 pair gets mis-read as a 2x2 block
+    scale = dabs + jnp.concatenate([dabs[1:], jnp.zeros((1,), dt)]) + 1.0
+    live = jnp.abs(sub) > tol * scale           # subdiag i couples (i, i+1)
+    prev_live = jnp.concatenate([jnp.zeros((1,), bool), live[:-1]])
+    starts2 = live & (~prev_live)               # i starts a 2x2 block
+
+    diag = jnp.diag(T)
+    up = jnp.concatenate([jnp.diag(T, 1), jnp.zeros((1,), dt)])
+    a = diag
+    b = up
+    c = sub
+    d = jnp.concatenate([diag[1:], jnp.zeros((1,), dt)])
+    half = (a + d) / 2
+    disc = ((a - d) / 2) ** 2 + b * c
+    sq = jnp.sqrt(jnp.abs(disc))
+    cplx = disc < 0
+    cdtype = _complex_dtype()
+    # build via lax.complex in the matching REAL precision: `half + 1j*sq`
+    # would promote to complex128, which the TPU compiler rejects outright
+    rdt = jnp.float32 if cdtype == jnp.complex64 else jnp.float64
+    re1 = jnp.where(cplx, half, half + sq).astype(rdt)
+    im1 = jnp.where(cplx, sq, 0.0).astype(rdt)
+    re2 = jnp.where(cplx, half, half - sq).astype(rdt)
+    im2 = jnp.where(cplx, -sq, 0.0).astype(rdt)
+    lam1 = jax.lax.complex(re1, im1)
+    lam2 = jax.lax.complex(re2, im2)
+    in_block = prev_live                         # position i is a block tail
+    vals = jnp.where(starts2, lam1,
+                     jax.lax.complex(diag.astype(rdt),
+                                     jnp.zeros_like(diag, rdt)))  # 1x1
+    vals = jnp.where(in_block,
+                     jnp.concatenate([jnp.zeros((1,), lam2.dtype),
+                                      lam2[:-1]]),
+                     vals).astype(cdtype)
+    order = jnp.lexsort((-vals.imag, -vals.real))
+    return vals[order]
+
+
+def inverse_iteration_vectors(A: jnp.ndarray, vals, sweeps: int = 3,
+                              eps: float = 1e-8):
+    """Eigenvectors by inverse iteration with the known eigenvalues, in REAL
+    arithmetic (a complex shift sigma = alpha + i beta becomes the 2n x 2n
+    real block system [[A - aI, bI], [-bI, A - aI]]) — TPU-safe (no complex
+    LU, no callback)."""
+    n = A.shape[0]
+    dt = A.dtype
+    eyen = jnp.eye(n, dtype=dt)
+
+    def one(lam):
+        alpha = jnp.real(lam).astype(dt)
+        beta = jnp.imag(lam).astype(dt)
+        shift = eps * jnp.maximum(jnp.abs(lam).real.astype(dt), 1.0)
+        from .linear import dense_factor, dense_factor_solve
+
+        Ar = A - (alpha + shift) * eyen
+        M = jnp.block([[Ar, beta * eyen], [-beta * eyen, Ar]])
+        fac = dense_factor(M)
+        v = jnp.concatenate([jnp.ones((n,), dt), jnp.zeros((n,), dt)])
+
+        def it(_, v):
+            w = dense_factor_solve(fac, v)
+            return w / jnp.maximum(jnp.linalg.norm(w), 1e-300)
+
+        v = jax.lax.fori_loop(0, sweeps, it, v)
+        cdtype = _complex_dtype()
+        rdt = jnp.float32 if cdtype == jnp.complex64 else jnp.float64
+        return jax.lax.complex(v[:n].astype(rdt), v[n:].astype(rdt))
+
+    V = jax.vmap(one)(vals)                     # (k, n) rows
+    return V.T.astype(_complex_dtype())
+
+
 def dense_eig(A: jnp.ndarray, with_vectors: bool = True):
-    """jit-compatible dense non-symmetric eigendecomposition via host callback."""
+    """jit-compatible dense non-symmetric eigendecomposition.
+
+    CPU/GPU: host LAPACK via pure_callback (exact reference behavior).
+    TPU: fully on-device QR eigenvalues + inverse-iteration vectors (the
+    axon runtime rejects host callbacks, and keeping the spectrum on-chip
+    also saves a host round-trip per continuation step)."""
     n = A.shape[0]
     cdtype = _complex_dtype()
+
+    if jax.default_backend() == "tpu":
+        w = qr_eigvals(A)
+        if not with_vectors:
+            return w, None
+        v = inverse_iteration_vectors(A, w)
+        return w, v
+
     out_shape = (jax.ShapeDtypeStruct((n,), cdtype),
                  jax.ShapeDtypeStruct((n, n), cdtype))
 
@@ -122,7 +382,22 @@ class ArnoldiEig:
             return (w.astype(np.complex128), y.astype(np.complex128),
                     resid.astype(np.float64))
 
+        def ritz_device(H, fnorm):
+            """Fully on-device Ritz step (TPU: the axon runtime rejects
+            host callbacks, and the on-chip path avoids a host round-trip
+            per eigensolve): QR eigenvalues + inverse-iteration vectors of
+            the small Hessenberg matrix."""
+            w = qr_eigvals(H)
+            if which_lm:
+                order = jnp.lexsort((-w.imag, -jnp.abs(w)))
+                w = w[order]
+            y = inverse_iteration_vectors(H, w)
+            resid = jnp.abs(fnorm) * jnp.abs(y[-1, :])
+            return w.astype(cdtype), y.astype(cdtype), resid.real
+
         def ritz_callback(H, fnorm):
+            if jax.default_backend() == "tpu":
+                return ritz_device(H, fnorm)
             out_shape = (jax.ShapeDtypeStruct((m,), cdtype),
                          jax.ShapeDtypeStruct((m, m), cdtype),
                          jax.ShapeDtypeStruct((m,), jnp.float64 if
@@ -171,7 +446,10 @@ class ArnoldiEig:
         for _ in range(self.restarts - 1):
             # explicit restart: recombine the wanted Ritz directions
             conv = jnp.all(resid[:nev] < self.tol)
-            wsum = jnp.real(V[:m].T @ jnp.sum(y[:, :nev], axis=1))
+            # cast the basis to the complex dtype BEFORE the product:
+            # f64 @ c64 promotes to c128, which the TPU compiler rejects
+            wsum = jnp.real(V[:m].T.astype(cdtype)
+                            @ jnp.sum(y[:, :nev], axis=1)).astype(dtype)
             v_new = jnp.where(conv, V[0], wsum / jnp.maximum(
                 jnp.linalg.norm(wsum), 1e-300))
             V2, H2 = one_factorization(v_new)
@@ -219,13 +497,15 @@ class ShiftInvertEig:
 
             op = FlatOperator(raw_op, flat0.shape[0], flat0.dtype)
         else:
+            from .linear import dense_factor, dense_factor_solve
+
             ls = ls or DenseLS()
             n = J.shape[0]
             A = J - sigma * jnp.eye(n, dtype=J.dtype)
-            lu_piv = jax.scipy.linalg.lu_factor(A)
+            fac = dense_factor(A)
 
             op = FlatOperator(
-                lambda v: jax.scipy.linalg.lu_solve(lu_piv, v), n, J.dtype)
+                lambda v: dense_factor_solve(fac, v), n, J.dtype)
 
         vals, vecs, cv, it = self.eigsolver(op, nev)
         new_vals = sigma + 1.0 / vals

@@ -68,9 +68,10 @@ class IterativeGEig:
             raise NotImplementedError("matrix-free GEV: wrap B^{-1}A "
                                       "yourself with FlatOperator")
         n = A.shape[0]
-        lu_piv = jax.scipy.linalg.lu_factor(B)
+        from .linear import dense_factor, dense_factor_solve
+        fac = dense_factor(B)
         op = FlatOperator(
-            lambda v: jax.scipy.linalg.lu_solve(lu_piv, A @ v), n, A.dtype)
+            lambda v: dense_factor_solve(fac, A @ v), n, A.dtype)
         return self.eigsolver(op, nev)
 
 

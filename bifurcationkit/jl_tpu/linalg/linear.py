@@ -59,6 +59,37 @@ def materialize_shift(J: jnp.ndarray, a0, a1) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _factor_uses_qr(dtype):
+    """f64-on-TPU routes through QR: the TPU compiler's
+    LuDecompositionExpander rejects F64.  Static at trace time, and
+    derivable from the factor arrays alone (LU is never chosen for
+    f64-on-TPU), so the handle can be a plain array tuple — vmap-able."""
+    return jax.default_backend() == "tpu" and dtype == jnp.float64
+
+
+def dense_factor(A):
+    """Backend-aware dense factorization handle for repeated solves:
+    (lu, piv) everywhere except f64-on-TPU, where it is (Q, R)
+    (2x flops, still MXU-tiled, same backward-stability class)."""
+    if _factor_uses_qr(A.dtype):
+        return jnp.linalg.qr(A)
+    return jax.scipy.linalg.lu_factor(A)
+
+
+def dense_factor_solve(fac, b):
+    """Solve with a `dense_factor` handle (vmap/jit/AD-compatible)."""
+    if _factor_uses_qr(fac[0].dtype):
+        Q, R = fac
+        return jax.scipy.linalg.solve_triangular(R, Q.T @ b)
+    return jax.scipy.linalg.lu_solve(fac, b)
+
+
+def dense_solve(A, b):
+    """One-shot backend-aware dense solve (use instead of
+    jnp.linalg.solve on any path that can run on TPU in f64)."""
+    return dense_factor_solve(dense_factor(A), b)
+
+
 @dataclasses.dataclass(frozen=True)
 class DenseLS:
     """Direct dense solve via LU (ref `DefaultLS`, src/LinearSolver.jl:94-117).
@@ -71,7 +102,7 @@ class DenseLS:
     def __call__(self, J, rhs, a0=0.0, a1=1.0):
         A = materialize_shift(J, a0, a1)
         flat, unravel = ravel(rhs)
-        sol = jax.scipy.linalg.solve(A, flat)
+        sol = dense_solve(A, flat)
         return unravel(sol), jnp.array(True), jnp.array(1)
 
     def solve_two(self, J, r1, r2, a0=0.0, a1=1.0):
@@ -80,9 +111,9 @@ class DenseLS:
         A = materialize_shift(J, a0, a1)
         f1, unravel1 = ravel(r1)
         f2, unravel2 = ravel(r2)
-        lu, piv = jax.scipy.linalg.lu_factor(A)
-        s1 = jax.scipy.linalg.lu_solve((lu, piv), f1)
-        s2 = jax.scipy.linalg.lu_solve((lu, piv), f2)
+        fac = dense_factor(A)
+        s1 = dense_factor_solve(fac, f1)
+        s2 = dense_factor_solve(fac, f2)
         return unravel1(s1), unravel2(s2), jnp.array(True), (jnp.array(1), jnp.array(1))
 
 

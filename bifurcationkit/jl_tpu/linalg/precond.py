@@ -62,27 +62,31 @@ class PartialSchurPrecond:
         """Apply P^-1 v (ref ldiv!, src/Preconditioner.jl:20-40)."""
         flat = v if isinstance(v, jnp.ndarray) else jnp.asarray(v)
         c = self.Q.T @ flat
-        corr = jnp.linalg.solve(self.T, c) - c
+        from .linear import dense_solve
+        corr = dense_solve(self.T, c) - c
         return flat + self.Q @ corr
 
 
 @dataclasses.dataclass(frozen=True)
 class BlockJacobiPrecond:
-    """Inverse of the block diagonal: blocks (nb, bs, bs) pre-factorized."""
+    """Inverse of the block diagonal: blocks (nb, bs, bs) pre-factorized
+    (backend-aware: LU, or QR on TPU-f64 where XLA's LU expander rejects
+    F64)."""
 
-    lu: Any
-    piv: Any
+    fac: Any
+    nb: int
     bs: int
 
     @classmethod
     def from_blocks(cls, blocks):
-        lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(blocks)
-        return cls(lu=lu, piv=piv, bs=blocks.shape[1])
+        from .linear import dense_factor
+        fac = jax.vmap(dense_factor)(blocks)
+        return cls(fac=fac, nb=blocks.shape[0], bs=blocks.shape[1])
 
     def __call__(self, v):
+        from .linear import dense_factor_solve
+
         flat = jnp.asarray(v)
-        nb = self.lu.shape[0]
-        vb = flat.reshape(nb, self.bs)
-        out = jax.vmap(lambda l, p, b: jax.scipy.linalg.lu_solve((l, p), b))(
-            self.lu, self.piv, vb)
+        vb = flat.reshape(self.nb, self.bs)
+        out = jax.vmap(dense_factor_solve)(self.fac, vb)
         return out.reshape(flat.shape)

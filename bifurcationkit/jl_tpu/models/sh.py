@@ -89,7 +89,15 @@ def swift_hohenberg_2d(Nx: int = 151, Ny: int = 100, lx: float = 8 * np.pi,
 
     def precond(v, shift=1.0):
         shp = v.shape
-        out = idct2(dct2(v.reshape(sym.shape)) / (sym - shift))
+        x = v.reshape(sym.shape)
+        if jax.default_backend() == "tpu":
+            # TPU FFT is complex64-only; the preconditioner only steers
+            # GMRES, so f32 transforms cost nothing in final accuracy
+            out = idct2(dct2(x.astype(jnp.float32))
+                        / (sym.astype(jnp.float32) - shift))
+            out = out.astype(v.dtype)
+        else:
+            out = idct2(dct2(x) / (sym - shift))
         return out.reshape(shp)
 
     object.__setattr__(prob, "spectral_precond", precond)
@@ -249,7 +257,14 @@ def swift_hohenberg_3d(N: int = 22, L: float = np.pi,
     def precond(v, shift=1.0):
         # the eigensolver path hands over raveled vectors
         shp = v.shape
-        out = idct3(dct3(v.reshape(sym.shape)) / (sym - shift))
+        x = v.reshape(sym.shape)
+        if jax.default_backend() == "tpu":
+            # complex64-only TPU FFT; f32 precond does not affect accuracy
+            out = idct3(dct3(x.astype(jnp.float32))
+                        / (sym.astype(jnp.float32) - shift))
+            out = out.astype(v.dtype)
+        else:
+            out = idct3(dct3(x) / (sym - shift))
         return out.reshape(shp)
 
     object.__setattr__(prob, "spectral_precond", precond)

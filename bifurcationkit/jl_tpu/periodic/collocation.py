@@ -158,7 +158,8 @@ class Collocation:
             rhs_blocks = -(dL[0, :][:, None, None] * eye[None]
                            - aj * L[0, :][:, None, None] * Jj)
             rhs = rhs_blocks.reshape(m * n, n)
-            sol = jnp.linalg.solve(A, rhs)                # (m*n, n)
+            from ..linalg.linear import dense_solve
+            sol = dense_solve(A, rhs)                     # (m*n, n)
             return sol[-n:, :]                            # map u_0 -> u_m
 
         maps = jax.vmap(interval_map)(Jp, alpha)          # (Ntst, n, n)
@@ -195,7 +196,8 @@ class Collocation:
             A = blocks.transpose(0, 2, 1, 3).reshape(m * n, m * n)
             rhs_blocks = -(dL[0, :][:, None, None] * eye[None]
                            - aj * L[0, :][:, None, None] * Jj)
-            sol = jnp.linalg.solve(A, rhs_blocks.reshape(m * n, n))
+            from ..linalg.linear import dense_solve
+            sol = dense_solve(A, rhs_blocks.reshape(m * n, n))
             return sol[-n:, :]
 
         return jax.vmap(interval_map)(Jp, alpha)

@@ -138,11 +138,12 @@ def cop_solve(blocks: COPBlocks, rhs):
     r_phase = rhs[-1]
 
     # stage 1: batched factorization of the interval blocks
-    lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(blocks.Aint)
-    solve = jax.vmap(lambda l, p, b: jax.scipy.linalg.lu_solve((l, p), b))
-    H = solve(lu, piv, blocks.B0)                 # (Ntst, m*n, n)
-    k = solve(lu, piv, blocks.cT[..., None])[..., 0]   # (Ntst, m*n)
-    G = solve(lu, piv, rc[..., None])[..., 0]     # (Ntst, m*n)
+    from ..linalg.linear import dense_factor, dense_factor_solve, dense_solve
+    fac = jax.vmap(dense_factor)(blocks.Aint)
+    solve = jax.vmap(dense_factor_solve)
+    H = solve(fac, blocks.B0)                     # (Ntst, m*n, n)
+    k = solve(fac, blocks.cT[..., None])[..., 0]  # (Ntst, m*n)
+    G = solve(fac, rc[..., None])[..., 0]         # (Ntst, m*n)
 
     # per-interval boundary map: du_{j+1} = S_j du_j + t_j dT + h_j
     S = -H[:, -n:, :]                              # (Ntst, n, n)
@@ -186,7 +187,7 @@ def cop_solve(blocks: COPBlocks, rhs):
     Aext = Aext.at[n, :n].set(phase_u)
     Aext = Aext.at[n, n].set(phase_T)
     bext = jnp.concatenate([r_per + rend, (r_phase - phase_c)[None]])
-    sol_ext = jnp.linalg.solve(Aext, bext)
+    sol_ext = dense_solve(Aext, bext)
     du0 = sol_ext[:n]
     dT = sol_ext[n]
 

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..linalg.eig import dense_eig
+from ..linalg.eig import _complex_dtype, dense_eig
 
 
 @dataclasses.dataclass(frozen=True)
@@ -28,7 +28,7 @@ class FloquetEig:
 
     def __call__(self, M, nev: int):
         mult, vecs = dense_eig(M)          # sorted by Re(mu) desc
-        expo = jnp.log(mult.astype(jnp.complex128))
+        expo = jnp.log(mult.astype(_complex_dtype()))
         order = jnp.lexsort((-expo.imag, -expo.real))
         expo = expo[order]
         vecs = vecs[:, order]
@@ -99,7 +99,7 @@ class FloquetGEV:
                 B = B.at[r, 0:n].set(eye)
         mult, vecs = dense_gev(A, B)
         # keep the finite multipliers (the pencil has N - n infinite ones)
-        expo = jnp.log(mult.astype(jnp.complex128))
+        expo = jnp.log(mult.astype(_complex_dtype()))
         order = jnp.lexsort((-expo.imag, -expo.real))
         expo = expo[order]
         vecs = vecs[:, order]

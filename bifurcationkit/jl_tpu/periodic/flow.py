@@ -34,12 +34,14 @@ def _rodas3_step(f, u, t, dt, params):
     goes through the LU solves)."""
     gamma = 0.5
     n = u.shape[0]
+    from ..linalg.linear import dense_factor, dense_factor_solve
+
     J = jax.jacfwd(lambda x: f(x, params))(u)
     W = jnp.eye(n, dtype=u.dtype) / (dt * gamma) - J
-    lu_piv = jax.scipy.linalg.lu_factor(W)
+    fac = dense_factor(W)
 
     def solve(rhs):
-        return jax.scipy.linalg.lu_solve(lu_piv, rhs)
+        return dense_factor_solve(fac, rhs)
 
     f1 = f(u, params)
     k1 = solve(f1)

@@ -82,11 +82,12 @@ class Trapeze:
         A = eye[None] + (T * h / 2.0) * Js[:-1]       # explicit parts
         B = eye[None] - (T * h / 2.0) * Js[1:]        # implicit parts
         # batched LU of all B_i at once, then the ordered chain product
-        lu_piv = jax.vmap(jax.scipy.linalg.lu_factor)(B)
+        from ..linalg.linear import dense_factor, dense_factor_solve
+        fac = jax.vmap(dense_factor)(B)
 
         def chain(Mn, i):
-            step = jax.scipy.linalg.lu_solve(
-                (lu_piv[0][i], lu_piv[1][i]), A[i])
+            step = dense_factor_solve(
+                jax.tree_util.tree_map(lambda x: x[i], fac), A[i])
             return step @ Mn, None
 
         Mn, _ = jax.lax.scan(chain, eye, jnp.arange(M - 1))

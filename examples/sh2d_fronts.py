@@ -21,13 +21,15 @@ def main(N=256):
     import jax
 
     on_tpu = jax.default_backend() != "cpu"
-    if on_tpu:
-        # f32 FFT path (TPU has no c128 FFT)
+    if on_tpu and os.environ.get("SH2D_PERIODIC", "0") == "1":
+        # optional all-f32 FFT-operator variant (the cuda example's path)
         prob = models.swift_hohenberg_periodic_2d(N=N, L=16 * np.pi, l=-0.15)
         tol_n, tol_c = 2e-4, 5e-4
     else:
         # the true reference config: Neumann BCs + localized front,
-        # preconditioned with the exact DCT spectral inverse
+        # preconditioned with the exact DCT spectral inverse (the precond
+        # transform drops to f32 on TPU — complex64-only FFT — which only
+        # steers GMRES; residuals stay f64)
         prob = models.swift_hohenberg_2d(Nx=151, Ny=100)
         tol_n, tol_c = 1e-8, 1e-7
     ls = bk.GMRES(restart=40, maxiter=300, rtol=1e-7 if on_tpu else 1e-10,
