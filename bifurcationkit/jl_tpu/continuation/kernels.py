@@ -21,7 +21,8 @@ from ..core.state import (BorderedState, DotTheta, tree_axpy, tree_norm,
                           tree_zeros_like)
 from ..linalg.bordered import BorderingBLS, MatrixBLS, MatrixFreeBLS
 from ..linalg.eig import ArnoldiEig, DenseEig, FlatOperator
-from ..linalg.linear import DenseLS, is_operator
+from ..linalg.linear import (DenseLS, IterativeRefinement, PairedOperator,
+                             is_operator)
 from .algorithms import PALC, MoorePenrose, MoorePenroseLS, Natural
 from .tangents import Bordered, Polynomial, Secant
 
@@ -37,10 +38,31 @@ def default_bls(alg, newton_opts):
     return bls
 
 
+def _cast_floats(tree, dt):
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dt)
+        if (hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating))
+        else a, tree)
+
+
 def _pick_jac(prob, linsolver):
     if isinstance(linsolver, DenseLS) or getattr(linsolver, "needs_matrix",
                                                  False):
         return prob.jacobian
+    if isinstance(linsolver, IterativeRefinement):
+        # mixed-precision refinement: pair the accurate jvp operator with a
+        # twin built at cast (low-precision) primals, so the inner Krylov
+        # runs natively at that precision on TPU
+        lo = linsolver.low_dtype
+        n_state = tree_size(prob.u0)
+
+        def jac(x, par):
+            low = FlatOperator(
+                _flat_op(prob, _cast_floats(x, lo), _cast_floats(par, lo),
+                         out_dtype=lo), n_state, lo)
+            return PairedOperator(prob.jacobian_operator(x, par), low)
+
+        return jac
     return prob.jacobian_operator
 
 
@@ -314,6 +336,12 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
     # src/codim2/MinAugFold.jl:579-601)
     eig_jac = getattr(prob, "eig_jacobian", None)
 
+    # reduced-precision stability sweep: build the J.v operator at the
+    # eigensolver's compute_dtype so the whole jvp traces at that precision
+    # (on TPU, f32 jvp is native MXU/VPU; f64 is ~10x emulated).  Newton /
+    # PALC residuals are untouched.
+    eig_dtype = getattr(eigsolver, "compute_dtype", None)
+
     @jax.jit
     def _eig_device(u, p, params):
         par = set_p(params, p)
@@ -322,7 +350,13 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
         elif eig_needs_matrix:
             J = prob.jacobian(u, par)
         else:
-            J = FlatOperator(_flat_op(prob, u, par), n_state)
+            if eig_dtype is not None:
+                u_e = _cast_floats(u, eig_dtype)
+                par_e = _cast_floats(par, eig_dtype)
+                J = FlatOperator(_flat_op(prob, u_e, par_e, out_dtype=eig_dtype),
+                                 n_state, eig_dtype)
+            else:
+                J = FlatOperator(_flat_op(prob, u, par), n_state)
         vals, vecs, cv, _ = eigsolver(J, nev)
         if not contparams.save_eigenvectors:
             vecs = None
@@ -399,14 +433,18 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
     )
 
 
-def _flat_op(prob, u, par):
+def _flat_op(prob, u, par, out_dtype=None):
     from ..core.state import ravel
 
     flat0, unravel = ravel(u)
 
     def op(v):
+        # keep the pipeline at the requested dtype even if the model embeds
+        # strongly-typed f64 constants (np scalars) that promote internally
+        if out_dtype is not None:
+            v = v.astype(out_dtype)
         out = prob.dF(u, par, unravel(v))
         of, _ = ravel(out)
-        return of
+        return of if out_dtype is None else of.astype(out_dtype)
 
     return op

@@ -1,4 +1,5 @@
-from .linear import BiCGStab, DenseLS, GMRES, apply_J, is_operator
+from .linear import (BiCGStab, DenseLS, GMRES, IterativeRefinement,
+                     PairedOperator, apply_J, is_operator)
 from .eig import ArnoldiEig, DenseEig, FlatOperator, ShiftInvertEig, dense_eig
 from .geig import DenseGEig, EigenMassMatrix, IterativeGEig, dense_gev, gev
 from .precond import BlockJacobiPrecond, PartialSchurPrecond

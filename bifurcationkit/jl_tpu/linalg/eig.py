@@ -359,8 +359,17 @@ class ArnoldiEig:
     restarts: int = 3
     which: str = "LR"     # LR = largest real (default), LM = largest modulus
     seed: int = 7
+    # Optional reduced-precision compute dtype (e.g. jnp.float32 on TPU,
+    # where f64 matmuls are emulated ~10x slower).  Stability *detection* is
+    # count-based (src/Bifurcations.jl:5-28) and tolerant of ~1e-6 eigenvalue
+    # error, so the spectrum along a branch can run in f32 while Newton
+    # residuals stay f64.  Dense inputs are cast; matrix-free operators are
+    # built at this dtype by the continuation kernels (kernels.py).
+    compute_dtype: Any = None
 
     def __call__(self, J, nev: int):
+        if self.compute_dtype is not None and not is_operator(J):
+            J = J.astype(self.compute_dtype)
         matvec, n, dtype = _as_flat_matvec(J)
         m = min(self.krylov_dim, n)
         cdtype = _complex_dtype()
@@ -442,10 +451,19 @@ class ArnoldiEig:
 
         V, H = one_factorization(v0)
         vals, y, resid = ritz_callback(H[:m, :m], H[m, m - 1])
+        # floor the Ritz tolerance at the working precision (an f32 sweep
+        # cannot reach the f64 default 1e-10)
+        tol_eff = max(self.tol, 50.0 * float(jnp.finfo(dtype).eps))
+
+        def _conv(vals_k, resid_k):
+            # ARPACK-style relative test: |Ax - theta x| <= tol * |theta|
+            # (absolute for tiny theta) — ref Arpack tol semantics
+            scale = jnp.maximum(jnp.abs(vals_k[:nev]), 1.0)
+            return jnp.all(resid_k[:nev] < tol_eff * scale)
 
         for _ in range(self.restarts - 1):
             # explicit restart: recombine the wanted Ritz directions
-            conv = jnp.all(resid[:nev] < self.tol)
+            conv = _conv(vals, resid)
             # cast the basis to the complex dtype BEFORE the product:
             # f64 @ c64 promotes to c128, which the TPU compiler rejects
             wsum = jnp.real(V[:m].T.astype(cdtype)
@@ -460,7 +478,7 @@ class ArnoldiEig:
             resid = jnp.where(conv, resid, resid2)
 
         vecs = (V[:m].T.astype(cdtype)) @ y[:, :nev]
-        converged = jnp.all(resid[:nev] < self.tol)
+        converged = _conv(vals, resid)
         return vals[:nev], vecs, converged, jnp.array(m * self.restarts)
 
 
@@ -475,9 +493,16 @@ class ShiftInvertEig:
     eigsolver: Any = dataclasses.field(
         default_factory=lambda: ArnoldiEig(which="LM"))
     linsolver: Any = None   # defaults to DenseLS for matrices
+    # reduced-precision stability path (see ArnoldiEig.compute_dtype): the
+    # shift-invert inner solves and the Arnoldi run at this dtype; mapped-back
+    # Ritz values carry ~sqrt(eps) error, ample for count-based detection.
+    compute_dtype: Any = None
 
     def __call__(self, J, nev: int):
         from .linear import DenseLS
+
+        if self.compute_dtype is not None and not is_operator(J):
+            J = J.astype(self.compute_dtype)
 
         ls = self.linsolver
         sigma = self.sigma

@@ -318,3 +318,96 @@ class BiCGStab:
                 jnp.array(0), b_norm)
         x, *_, k, res = jax.lax.while_loop(cond, body, init)
         return unravel(x), res <= tol, k
+
+
+# ---------------------------------------------------------------------------
+# Mixed-precision iterative refinement — the TPU-idiomatic way to reach f64
+# Newton tolerances without running the Krylov iteration in emulated f64
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class IterativeRefinement:
+    """Solve (a0 I + a1 J) x = rhs to f64 accuracy with all Krylov work in a
+    low precision (default f32, TPU-native) and a handful of f64 residual
+    corrections:
+
+        repeat:  r = rhs - A x   (accurate dtype, ONE matvec)
+                 d = inner_solve(A_low, r_low)   (all matvecs low precision)
+                 x = x + d
+
+    Classic iterative refinement: each pass gains ~inner-solve-accuracy
+    digits, so 2-4 passes reach 1e-12 residuals from a 1e-5 inner solve.
+    This replaces the reference's UMFPACK-grade direct solves on problems
+    where the TPU's f64 is emulated (~10x slower than f32).
+
+    The low-precision operator comes from `J.low` when the jacobian carries
+    one (the continuation kernels attach a true f32-built jvp operator —
+    see kernels._pick_jac); otherwise the accurate operator is wrapped with
+    casts (correct, but without the compute saving).
+    """
+
+    inner: Any = dataclasses.field(
+        default_factory=lambda: GMRES(restart=40, maxiter=160, rtol=1e-5))
+    low_dtype: Any = jnp.float32
+    refinements: int = 4            # max outer passes (static bound)
+    rtol: float = 1e-10
+    atol: float = 1e-13
+
+    def __call__(self, J, rhs, a0=0.0, a1=1.0):
+        flat_rhs, unravel = ravel(rhs)
+        n = flat_rhs.shape[0]
+        lo = self.low_dtype
+
+        J_low = getattr(J, "low", None)
+        if J_low is None:
+            def J_low(v_lo):
+                out = shifted_apply(J, unravel(v_lo.astype(flat_rhs.dtype)),
+                                    0.0, 1.0)
+                of, _ = ravel(out)
+                return of.astype(lo)
+            inner_shift = (a0, a1)
+        else:
+            inner_shift = (a0, a1)
+
+        def matvec_acc(xf):
+            out = shifted_apply(J, unravel(xf), a0, a1)
+            of, _ = ravel(out)
+            return of
+
+        b_norm = jnp.linalg.norm(flat_rhs)
+        tol = jnp.maximum(self.rtol * b_norm, self.atol)
+
+        def body(carry):
+            x, _, k, itl = carry
+            r = flat_rhs - matvec_acc(x)
+            d_lo, _, it = self.inner(J_low, r.astype(lo),
+                                     a0=inner_shift[0], a1=inner_shift[1])
+            d_flat, _ = ravel(d_lo)
+            x = x + d_flat.astype(flat_rhs.dtype)
+            rn = jnp.linalg.norm(flat_rhs - matvec_acc(x))
+            return x, rn, k + 1, itl + it
+
+        def cond(carry):
+            _, rn, k, _ = carry
+            return jnp.logical_and(rn > tol, k < self.refinements)
+
+        x0 = jnp.zeros_like(flat_rhs)
+        x, rn, k, itl = jax.lax.while_loop(
+            cond, body, (x0, b_norm, jnp.array(0), jnp.array(0)))
+        return unravel(x), rn <= tol, itl
+
+
+class PairedOperator:
+    """Accurate matvec closure carrying a low-precision twin as `.low`
+    (a flat-vector operator built at cast primals).  Consumed by
+    `IterativeRefinement`; behaves as the accurate operator everywhere else."""
+
+    __slots__ = ("op", "low")
+
+    def __init__(self, op, low):
+        self.op = op
+        self.low = low
+
+    def __call__(self, v):
+        return self.op(v)

@@ -33,7 +33,9 @@ def swift_hohenberg_2d(Nx: int = 151, Ny: int = 100, lx: float = 8 * np.pi,
     F = -(I+Delta)^2 u + l u + nu u^2 - u^3."""
     hx = 2 * lx / Nx
     hy = 2 * ly / Ny
-    hx2, hy2 = hx * hx, hy * hy
+    # python floats (weak-typed) so the stencil follows u's dtype — the
+    # f32 stability sweep needs the jvp to stay f32 end-to-end
+    hx2, hy2 = float(hx * hx), float(hy * hy)
 
     def lap(u):
         return _lap_neumann(u, hx2, 0) + _lap_neumann(u, hy2, 1)
@@ -97,7 +99,8 @@ def swift_hohenberg_2d(Nx: int = 151, Ny: int = 100, lx: float = 8 * np.pi,
                         / (sym.astype(jnp.float32) - shift))
             out = out.astype(v.dtype)
         else:
-            out = idct2(dct2(x) / (sym - shift))
+            # dtype-preserving: the operator may run an f32 stability sweep
+            out = idct2(dct2(x) / (sym - shift)).astype(v.dtype)
         return out.reshape(shp)
 
     object.__setattr__(prob, "spectral_precond", precond)

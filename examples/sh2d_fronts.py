@@ -32,8 +32,17 @@ def main(N=256):
         # steers GMRES; residuals stay f64)
         prob = models.swift_hohenberg_2d(Nx=151, Ny=100)
         tol_n, tol_c = 1e-8, 1e-7
-    ls = bk.GMRES(restart=40, maxiter=300, rtol=1e-7 if on_tpu else 1e-10,
-                  precond=prob.spectral_precond)
+    if on_tpu:
+        # mixed-precision iterative refinement: all Krylov matvecs run in
+        # native f32 (MXU/VPU speed), a few f64 residual corrections reach
+        # the same tolerances as the f64 GMRES (docs/PERF.md)
+        ls = bk.IterativeRefinement(
+            inner=bk.GMRES(restart=40, maxiter=160, rtol=1e-5,
+                           precond=prob.spectral_precond),
+            refinements=4, rtol=1e-10)
+    else:
+        ls = bk.GMRES(restart=40, maxiter=300, rtol=1e-10,
+                      precond=prob.spectral_precond)
 
     t0 = time.time()
     sol = bk.newton(prob, bk.NewtonPar(tol=tol_n, max_iterations=25,
@@ -42,11 +51,22 @@ def main(N=256):
           f"converged={bool(sol.converged)} in {int(sol.itnewton)} iters, "
           f"{time.time()-t0:.1f}s (incl. compile)")
 
+    # stability along the branch: shift-invert Arnoldi (the reference's
+    # EigArpack(0.1, :LM)); on TPU the sweep runs in f32 (compute_dtype) —
+    # detection is count-based, ~1e-5 eigenvalue error is ample, 32x faster
+    eig = bk.ShiftInvertEig(
+        sigma=0.1,
+        eigsolver=bk.ArnoldiEig(which="LM", krylov_dim=40, restarts=2),
+        linsolver=bk.GMRES(restart=40, maxiter=120, rtol=1e-5,
+                           precond=prob.spectral_precond),
+        compute_dtype=np.float32 if on_tpu else None)
     cp = bk.ContinuationPar(ds=-0.005, dsmax=0.02, dsmin=1e-6, p_min=-0.8,
-                            p_max=0.2, max_steps=60, detect_bifurcation=0,
+                            p_max=0.2, max_steps=60, nev=12,
+                            detect_bifurcation=3 if on_tpu else 0,
                             detect_fold=True,
                             newton_options=bk.NewtonPar(
-                                tol=tol_c, max_iterations=15, linsolver=ls))
+                                tol=tol_c, max_iterations=15, linsolver=ls,
+                                eigsolver=eig))
     t0 = time.time()
     br = bk.continuation(prob.re_make(u0=sol.u), bk.PALC(), cp)
     dt = time.time() - t0

@@ -65,3 +65,36 @@ def test_qr_eigvals_jittable():
     w1 = np.sort_complex(np.asarray(jax.jit(qr_eigvals)(A)))
     w2 = np.sort_complex(np.linalg.eigvals(np.asarray(A)))
     assert np.abs(w1 - w2).max() < 1e-9
+
+
+def test_mixed_precision_stability_sweep():
+    """compute_dtype=f32 shift-invert through the continuation kernels:
+    the J.v operator is built at f32 (the TPU fast path; detection is
+    count-based and tolerant of ~1e-4 eigenvalue error) and the spectrum
+    matches the dense f64 one."""
+    import bifurcationkit.jl_tpu as bk
+    from bifurcationkit.jl_tpu import models
+    from bifurcationkit.jl_tpu.continuation.kernels import make_kernels
+
+    prob = models.brusselator_1d(n=40)
+    par = dict(prob.params)
+    ref = np.linalg.eigvals(np.asarray(prob.jacobian(prob.u0, par)))
+    ref = ref[np.lexsort((-ref.imag, -ref.real))][:6]
+
+    si32 = bk.ShiftInvertEig(
+        sigma=0.2,
+        eigsolver=bk.ArnoldiEig(which="LM", krylov_dim=60),
+        linsolver=bk.GMRES(restart=60, maxiter=120, rtol=1e-6),
+        compute_dtype=jnp.float32)
+    cp = bk.ContinuationPar(ds=1e-3, dsmax=1e-2, p_min=0.0, p_max=1.0,
+                            max_steps=1, nev=6,
+                            newton_options=bk.NewtonPar(eigsolver=si32))
+    kern = make_kernels(prob, bk.PALC(), cp)
+    vals, _, cv = kern.eig(prob.u0, jnp.asarray(par[prob.lens]), par)
+    assert bool(cv)
+    assert np.abs(np.asarray(vals)[:6] - ref).max() < 5e-3
+
+    # dense-matrix path: compute_dtype casts the matrix before factorization
+    si_dense = bk.ShiftInvertEig(sigma=0.2, compute_dtype=jnp.float32)
+    vals_d, _, _, _ = si_dense(prob.jacobian(prob.u0, par), 6)
+    assert np.abs(np.asarray(vals_d)[:6] - ref).max() < 5e-3

@@ -151,3 +151,43 @@ def test_eig_under_jit():
     ref = np.linalg.eigvals(np.asarray(A))
     ref = ref[np.lexsort((-ref.imag, -ref.real))]
     np.testing.assert_allclose(vals, ref[:4], atol=1e-10)
+
+
+def test_iterative_refinement_dense_parity():
+    """IR (f32 Krylov + f64 refinement) reaches f64-grade residuals."""
+    import bifurcationkit.jl_tpu as bk
+
+    rng = np.random.default_rng(0)
+    n = 60
+    A = np.diag(np.linspace(1.0, 8.0, n)) + 0.1 * rng.standard_normal((n, n))
+    b = rng.standard_normal(n)
+    ir = bk.IterativeRefinement(inner=bk.GMRES(restart=30, maxiter=120,
+                                               rtol=1e-5), refinements=4,
+                                rtol=1e-12)
+    x, cv, _ = ir(jnp.asarray(A), jnp.asarray(b))
+    assert bool(cv)
+    assert np.linalg.norm(A @ np.asarray(x) - b) < 1e-10 * np.linalg.norm(b)
+
+
+def test_iterative_refinement_newton_sh2d():
+    """Mixed-precision Newton corrector on the flagship model matches the
+    plain f64 GMRES solve (the TPU fast path; ref DefaultLS tolerances)."""
+    import bifurcationkit.jl_tpu as bk
+    from bifurcationkit.jl_tpu import models
+
+    prob = models.swift_hohenberg_2d(Nx=64, Ny=48)
+    ir = bk.IterativeRefinement(
+        inner=bk.GMRES(restart=40, maxiter=160, rtol=1e-5,
+                       precond=prob.spectral_precond),
+        refinements=4, rtol=1e-11)
+    sol = bk.newton(prob, bk.NewtonPar(tol=1e-9, max_iterations=30,
+                                       linsolver=ir))
+    assert bool(sol.converged)
+    r = np.linalg.norm(np.asarray(prob.residual(sol.u, prob.params)).ravel())
+    assert r < 1e-9
+
+    ls = bk.GMRES(restart=40, maxiter=300, rtol=1e-10,
+                  precond=prob.spectral_precond)
+    sol2 = bk.newton(prob, bk.NewtonPar(tol=1e-9, max_iterations=30,
+                                        linsolver=ls))
+    assert np.abs(np.asarray(sol.u) - np.asarray(sol2.u)).max() < 1e-8
