@@ -356,19 +356,16 @@ class IterativeRefinement:
 
     def __call__(self, J, rhs, a0=0.0, a1=1.0):
         flat_rhs, unravel = ravel(rhs)
-        n = flat_rhs.shape[0]
         lo = self.low_dtype
 
         J_low = getattr(J, "low", None)
         if J_low is None:
+            # cast-wrapped fallback: correct, but the matvec still computes
+            # at the accurate dtype (no speedup without a true J.low)
             def J_low(v_lo):
-                out = shifted_apply(J, unravel(v_lo.astype(flat_rhs.dtype)),
-                                    0.0, 1.0)
+                out = apply_J(J, unravel(v_lo.astype(flat_rhs.dtype)))
                 of, _ = ravel(out)
                 return of.astype(lo)
-            inner_shift = (a0, a1)
-        else:
-            inner_shift = (a0, a1)
 
         def matvec_acc(xf):
             out = shifted_apply(J, unravel(xf), a0, a1)
@@ -381,8 +378,7 @@ class IterativeRefinement:
         def body(carry):
             x, _, k, itl = carry
             r = flat_rhs - matvec_acc(x)
-            d_lo, _, it = self.inner(J_low, r.astype(lo),
-                                     a0=inner_shift[0], a1=inner_shift[1])
+            d_lo, _, it = self.inner(J_low, r.astype(lo), a0=a0, a1=a1)
             d_flat, _ = ravel(d_lo)
             x = x + d_flat.astype(flat_rhs.dtype)
             rn = jnp.linalg.norm(flat_rhs - matvec_acc(x))

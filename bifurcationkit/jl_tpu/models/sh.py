@@ -160,8 +160,10 @@ def mittelmann(Nx: int = 30, Ny: int = 30, lx: float = 0.5, ly: float = 0.5,
     State is the (Nx, Ny) field; `record_from_solution` provides the
     reference's symmetry-breaking weighted norm `nw` (ref mittleman.jl:7,73)
     so distinct sheets separate in diagram plots."""
-    hx2 = (2 * lx / Nx) ** 2
-    hy2 = (2 * ly / Ny) ** 2
+    # weak-typed grid constants (see swift_hohenberg_2d): keep the jvp at
+    # the state's dtype for the f32 mixed-precision paths
+    hx2 = float((2 * lx / Nx) ** 2)
+    hy2 = float((2 * ly / Ny) ** 2)
 
     def lap(u):
         return _lap_neumann(u, hx2, 0) + _lap_neumann(u, hy2, 1)
@@ -195,7 +197,7 @@ def swift_hohenberg_3d(N: int = 22, L: float = np.pi,
     (the Neumann analog of the reference's cholesky((I+Delta)^2) at :91)
     and analytic d2F/d3F (ref :63-64)."""
     h = 2 * L / N
-    h2 = h * h
+    h2 = float(h * h)
 
     def lap(u):
         return (_lap_neumann(u, h2, 0) + _lap_neumann(u, h2, 1)

@@ -19,11 +19,19 @@ from bifurcationkit.jl_tpu import models
 
 
 def main(N=22, max_steps=146):
+    import jax
     import jax.numpy as jnp
 
+    on_tpu = jax.default_backend() != "cpu"
     prob = models.swift_hohenberg_3d(N=N)
     precond = prob.spectral_precond
-    ls = bk.GMRES(restart=40, maxiter=200, rtol=1e-9, precond=precond)
+    if on_tpu:
+        # mixed precision: f32 Krylov + f64 refinement (docs/TPU_NOTES.md)
+        ls = bk.IterativeRefinement(
+            inner=bk.GMRES(restart=40, maxiter=160, rtol=1e-5,
+                           precond=precond), refinements=4, rtol=1e-10)
+    else:
+        ls = bk.GMRES(restart=40, maxiter=200, rtol=1e-9, precond=precond)
     # basins at l=0.1 are delicate; double the lattice guess (the reference's
     # exact float path lands on the hexa state from 1.2x, ours from 2x)
     prob = prob.re_make(u0=prob.u0 * 2.0)
@@ -39,8 +47,11 @@ def main(N=22, max_steps=146):
     # shift-invert Arnoldi through the same preconditioned GMRES
     # (ref SH3dEig, SH3d.jl:98-121: sigma = 0.1, KrylovKit :LM)
     eig = bk.ShiftInvertEig(sigma=0.1,
-                            linsolver=bk.GMRES(restart=40, maxiter=200,
-                                               rtol=1e-9, precond=precond))
+                            linsolver=bk.GMRES(
+                                restart=40, maxiter=200,
+                                rtol=1e-5 if on_tpu else 1e-9,
+                                precond=precond),
+                            compute_dtype=jnp.float32 if on_tpu else None)
     cp = bk.ContinuationPar(ds=-0.001, dsmax=0.005, dsmin=1e-4, p_min=-0.1,
                             p_max=0.15, max_steps=max_steps,
                             detect_bifurcation=3, nev=15, n_inversion=4,
