@@ -141,6 +141,9 @@ def stuart_landau(r: float = 0.5, mu: float = 0.1, nu: float = 1.0,
     (ref test/periodic_orbits_function_fd/stuartLandau*.jl)."""
 
     def F(u, par):
+        # z' = (r + i mu) z - (1 + i nu) c3 |z|^2 z - c5 |z|^4 z, expanded in
+        # real arithmetic (a bare x + 1j*y builds complex128 under x64,
+        # which the TPU compiler rejects)
         x, y = u[0], u[1]
         rr = par["r"]
         m = par["mu"]
@@ -148,10 +151,9 @@ def stuart_landau(r: float = 0.5, mu: float = 0.1, nu: float = 1.0,
         cc3 = par["c3"]
         cc5 = par["c5"]
         ua = x * x + y * y
-        za = (rr + 1j * m) * (x + 1j * y) \
-            - (1 + 1j * n_) * cc3 * ua * (x + 1j * y) \
-            - cc5 * ua ** 2 * (x + 1j * y)
-        return jnp.array([jnp.real(za), jnp.imag(za)])
+        fre = (rr * x - m * y) - cc3 * ua * (x - n_ * y) - cc5 * ua ** 2 * x
+        fim = (rr * y + m * x) - cc3 * ua * (y + n_ * x) - cc5 * ua ** 2 * y
+        return jnp.array([fre, fim])
 
     return BifurcationProblem(
         F, u0=jnp.array([0.01, 0.01]),
