@@ -62,10 +62,13 @@ def make_jv(dtype, device=None):
 
 def bench_device(device, dtype=jnp.float32):
     jv = make_jv(dtype, device=device)
-    key = jax.random.PRNGKey(0)
+    # build inputs from host numpy INSIDE the device context: a PRNG key
+    # minted on the default (axon TPU) device hangs forever when jax tries
+    # to transfer it to the CPU backend through the experimental plugin
+    rng = np.random.default_rng(0)
     with jax.default_device(device):
-        u = jax.random.normal(key, (N, N), dtype)
-        v = jax.random.normal(jax.random.PRNGKey(1), (N, N), dtype)
+        u = jnp.asarray(rng.standard_normal((N, N)), dtype)
+        v = jnp.asarray(rng.standard_normal((N, N)), dtype)
         out = jv(u, v)
         jax.block_until_ready(out)  # warmup/compile
         # best-of-3 trials: the tunnel/chip is shared, single-trial numbers

@@ -66,3 +66,18 @@ from .normal_forms import (BifDiagNode, bifurcationdiagram,
                            hopf_normal_form, multicontinuation, predictor)
 
 __version__ = "0.1.0"
+
+_LAZY_SUBMODULES = ("models", "ops", "parallel", "linalg", "periodic",
+                    "codim2", "normal_forms", "detection", "continuation",
+                    "wave", "bvp", "utils", "native", "core")
+
+
+def __getattr__(name):
+    # lazy submodule access (`bk.models.chan(...)`) without paying the
+    # import cost of every model/kernel at package import time
+    if name in _LAZY_SUBMODULES:
+        import importlib
+        mod = importlib.import_module(f".{name}", __name__)
+        globals()[name] = mod
+        return mod
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

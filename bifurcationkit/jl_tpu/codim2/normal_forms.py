@@ -5,8 +5,9 @@
   (ref :141-506; Kuznetsov 8.4), with local fold/Hopf curve predictors.
 * Cusp: cubic coefficient c of the reduced equation on the fold curve
   (ref :15-141).
-* Bautin / Zero-Hopf / Hopf-Hopf: point records with eigen-data (the l2 /
-  coupling coefficients are round-2 work).
+* Bautin / Zero-Hopf / Hopf-Hopf: point records with eigen-data; the l2
+  coefficient lives in normal_forms/bautin.py and the ZH/HH coupling
+  coefficients in codim2/zh_hh.py.
 """
 from __future__ import annotations
 
