@@ -56,19 +56,32 @@ class BorderingBLS:
 
         dX, dl, cv, itl = bec(R, n)
 
-        # BEC + k iterative refinement: statically unrolled k passes with
-        # masked updates (jit-friendly; ref while loop at
-        # src/LinearBorderSolver.jl:118-130)
+        # BEC + k iterative refinement: statically unrolled k passes
+        # (jit-friendly; ref while loop at src/LinearBorderSolver.jl:118-130).
+        # The two refinement solves are gated behind lax.cond so a pass
+        # whose residual already meets tol costs one matvec, not two solves.
         if self.check_precision:
+            from ..core.state import tree_zeros_like
+
             for _ in range(self.k):
                 dres_X, dres_l = _bec_residual(J, dR, dzu, dzp, R, n, dX, dl,
                                                xi_u, xi_p, shift, dotp)
                 fail = jnp.logical_or(tree_norm(dres_X) > self.tol,
                                       jnp.abs(dres_l) > self.tol)
-                dX1, dl1, cv1, _ = bec(dres_X, dres_l)
-                dX = jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(fail, a + b, a), dX, dX1)
-                dl = jnp.where(fail, dl + dl1, dl)
+
+                def _refine(args):
+                    rX, rl = args
+                    dX1, dl1, _, _ = bec(rX, rl)
+                    return dX1, jnp.asarray(dl1)
+
+                def _skip(args):
+                    rX, rl = args
+                    return tree_zeros_like(rX), jnp.zeros_like(jnp.asarray(rl))
+
+                dX1, dl1 = jax.lax.cond(fail, _refine, _skip,
+                                        (dres_X, dres_l))
+                dX = jax.tree_util.tree_map(lambda a, b: a + b, dX, dX1)
+                dl = dl + dl1
         return dX, dl, cv, itl
 
 

@@ -430,17 +430,15 @@ class ArnoldiEig:
             def step(j, VH):
                 V, H = VH
                 w = matvec(V[j])
-
-                def mgs(i, wh):
-                    w, h = wh
-                    hij = jnp.where(i <= j, jnp.vdot(V[i], w), 0.0)
-                    return w - hij * V[i], h.at[i].add(hij)
-
-                h = jnp.zeros((m + 1,), dtype)
-                w, h = jax.lax.fori_loop(0, m + 1, mgs, (w, h))
-                w, h2 = jax.lax.fori_loop(0, m + 1, mgs,
-                                          (w, jnp.zeros_like(h)))
-                h = h + h2
+                # CGS2 via matmuls (rows of V beyond j are exactly zero, so
+                # V @ w projects onto the filled basis only) — replaces the
+                # latency-bound sequential MGS fori_loop on TPU; same
+                # orthogonality class as two-pass MGS
+                h1 = V.conj() @ w
+                w = w - V.T @ h1
+                h2 = V.conj() @ w
+                w = w - V.T @ h2
+                h = h1 + h2
                 beta = jnp.linalg.norm(w)
                 H = H.at[:, j].set(h.at[j + 1].set(beta))
                 V = V.at[j + 1].set(w / jnp.maximum(beta, 1e-300))

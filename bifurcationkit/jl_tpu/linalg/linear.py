@@ -124,6 +124,19 @@ class DenseLS:
 # ---------------------------------------------------------------------------
 
 
+def _vmapped_solve_two(solver, J, r1, r2, a0=0.0, a1=1.0):
+    """Solve two RHS in one vmapped dispatch: the lanes share every traced
+    matvec (J is linear, so batching is exact) and the while_loops run to
+    max(it1, it2) sequential steps instead of it1 + it2 — the TPU analogue
+    of the reference's shared-factorization 2-RHS solve
+    (ref src/LinearSolver.jl:119-131)."""
+    stacked = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), r1, r2)
+    sols, cvs, its = jax.vmap(lambda r: solver(J, r, a0=a0, a1=a1))(stacked)
+    s1 = jax.tree_util.tree_map(lambda a: a[0], sols)
+    s2 = jax.tree_util.tree_map(lambda a: a[1], sols)
+    return s1, s2, jnp.logical_and(cvs[0], cvs[1]), (its[0], its[1])
+
+
 @dataclasses.dataclass(frozen=True)
 class GMRES:
     """Restarted GMRES with fixed-shape `lax.while_loop` iteration.
@@ -167,6 +180,9 @@ class GMRES:
         converged = res <= jnp.maximum(self.rtol * b_norm, self.atol)
         return unravel(sol), converged, it
 
+    def solve_two(self, J, r1, r2, a0=0.0, a1=1.0):
+        return _vmapped_solve_two(self, J, r1, r2, a0=a0, a1=a1)
+
 
 def _gmres_flat(matvec, b, restart, maxiter, rtol, atol):
     """Flat-vector restarted GMRES.  Returns (x, final_resnorm, n_matvec)."""
@@ -193,18 +209,16 @@ def _gmres_flat(matvec, b, restart, maxiter, rtol, atol):
         def arnoldi_step(state):
             j, V, H, cs, sn, g, res = state
             w = matvec(V[j])
-            # modified Gram-Schmidt (two-pass for f64-grade orthogonality)
-            h = jnp.zeros((m + 1,), dtype)
-
-            def mgs(i, wv):
-                w, h = wv
-                hij = jnp.where(i <= j, jnp.vdot(V[i], w), 0.0)
-                w = w - hij * V[i]
-                return w, h.at[i].add(hij)
-
-            w, h = jax.lax.fori_loop(0, m + 1, mgs, (w, h))
-            w, h2 = jax.lax.fori_loop(0, m + 1, mgs, (w, jnp.zeros_like(h)))
-            h = h + h2
+            # classical Gram-Schmidt with reorthogonalization (CGS2): rows
+            # of V beyond j are exactly zero within a cycle, so two (m+1, n)
+            # matmuls project onto the filled basis — replacing 2(m+1)
+            # sequential dot/axpy pairs, which are latency-bound on TPU.
+            # CGS2 orthogonality is the same class as two-pass MGS.
+            h1 = V.conj() @ w
+            w = w - V.T @ h1
+            h2 = V.conj() @ w
+            w = w - V.T @ h2
+            h = h1 + h2
             hlast = jnp.linalg.norm(w)
             h = h.at[j + 1].set(hlast)
             V = V.at[j + 1].set(w / jnp.maximum(hlast, 1e-300))
@@ -392,6 +406,9 @@ class IterativeRefinement:
         x, rn, k, itl = jax.lax.while_loop(
             cond, body, (x0, b_norm, jnp.array(0), jnp.array(0)))
         return unravel(x), rn <= tol, itl
+
+    def solve_two(self, J, r1, r2, a0=0.0, a1=1.0):
+        return _vmapped_solve_two(self, J, r1, r2, a0=a0, a1=a1)
 
 
 class PairedOperator:
