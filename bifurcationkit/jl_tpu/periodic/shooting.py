@@ -33,6 +33,13 @@ class Shooting:
     M: int = 5
     steps_per_segment: int = 60
     method: str = "dopri5"
+    # adaptive error-controlled flows (ref the SciML abstol/reltol the
+    # reference exposes, FlowDE.jl:41-99; e.g. Rodas4P in
+    # examples/brusselatorShooting.jl:165-171 -> method="rodas3" here)
+    adaptive: bool = False
+    rtol: float = 1e-7
+    atol: float = 1e-9
+    max_steps: int = 256
 
     def unknown_size(self, n: int) -> int:
         return self.M * n + 1
@@ -48,7 +55,8 @@ class Shooting:
 
     def _flow(self, prob_vf):
         return Flow(prob_vf.F, steps=self.steps_per_segment,
-                    method=self.method)
+                    method=self.method, adaptive=self.adaptive,
+                    rtol=self.rtol, atol=self.atol, max_steps=self.max_steps)
 
     def residual(self, prob_vf, X, po_par):
         params = po_par["_inner"]
@@ -102,6 +110,13 @@ class PoincareShooting:
     M: int = 2
     steps_per_segment: int = 80
     method: str = "dopri5"
+    # adaptive error control for the free-time segment flows (the
+    # section-crossing scan keeps its fixed grid — the event location
+    # needs equispaced samples)
+    adaptive: bool = False
+    rtol: float = 1e-7
+    atol: float = 1e-9
+    max_steps: int = 256
     # event-driven mode (the reference's formulation, PoincareShooting.jl:50):
     # unknowns are ONLY the hyperplane coordinates; each segment integrates
     # until it CROSSES the next section.  The crossing is located by a
@@ -140,7 +155,8 @@ class PoincareShooting:
 
     def _flow(self, prob_vf):
         return Flow(prob_vf.F, steps=self.steps_per_segment,
-                    method=self.method)
+                    method=self.method, adaptive=self.adaptive,
+                    rtol=self.rtol, atol=self.atol, max_steps=self.max_steps)
 
     @staticmethod
     def _basis(normal):
