@@ -10,7 +10,8 @@ from .codim2 import (continuation_fold_po, continuation_ns, continuation_pd,
 from .normal_forms import (get_normal_form_po, neimark_sacker_iooss,
                            period_doubling_iooss,
                            poincare_return_map)
-from .cop import COPLS, COPBlocks, collocation_block_jacobian, cop_solve
-from .floquet import FloquetGEV
+from .cop import (COPBLS, COPLS, COPBlocks, collocation_block_jacobian,
+                  cop_solve, cop_solve_bordered)
+from .floquet import FloquetColl, FloquetGEV
 from .orbits import get_periodic_orbit
 from .codim2 import bp_po_branch_switch

@@ -4,14 +4,26 @@
 The collocation jacobian has per-interval block structure: interval j's m*n
 collocation rows couple the local nodes 0..m (node m is shared with interval
 j+1) plus the period column.  COP eliminates the local unknowns 1..m with one
-*batched* LU over all intervals (stage 1 = the reference's blockwise
-elimination, cop.jl:215), leaving an external system on (delta u_0, delta T)
-of size n+1 only, closed by a `lax.scan` chain recursion (stage 2 — the same
-sequential product as the Floquet monodromy), then a batched back-substitution
-(cop.jl:484).
+*batched* pivoted LU over all intervals (stage 1 = the reference's blockwise
+elimination, cop.jl:215), leaving an **external block-bidiagonal system** on
+the interval-boundary unknowns (du_0..du_Ntst, dT [, dp]) of size
+(Ntst+1)*n + 1 [+1], solved dense with pivoting (ref cop.jl:322,484: the
+reference gathers exactly this external system and back-substitutes with
+pivoting).  Solving the external system directly — instead of eliminating
+the boundary unknowns through an unpivoted chain product P <- S_j P — keeps
+full accuracy on strongly unstable orbits, where the chain recursion loses
+digits exactly like the raw monodromy product (ref the precision caveat,
+Floquet.jl:28-31).
 
-This makes the collocation Newton step O(Ntst * (m n)^3) with the heavy part
-batched on the MXU, instead of O((Ntst m n)^3) dense LU on the AD jacobian.
+`COPBLS` condenses the PALC-bordered system [J dFdp; theta dzu' (1-theta)dzp]
+in the SAME single pass (ref COPBLS, cop.jl:107): the parameter column and
+the arclength row ride through stage 1 with the period column, so one
+continuation corrector iteration costs ONE condensation instead of the two
+BorderingBLS inner solves.
+
+This makes the collocation Newton step O(Ntst * (m n)^3) batched on the MXU
+plus one dense pivoted solve of the small external system, instead of
+O((Ntst m n)^3) dense LU on the AD jacobian.
 """
 from __future__ import annotations
 
@@ -33,7 +45,6 @@ class COPBlocks:
     Aint: Any    # (Ntst, m*n, m*n)  d rows / d local nodes 1..m
     B0: Any      # (Ntst, m*n, n)    d rows / d local node 0
     cT: Any      # (Ntst, m*n)       d rows / d T
-    rows_rhs_template: Any           # unused placeholder for shape
     phi0: Any    # (Ntst, n)         phase-row coeff of local node 0
     phiI: Any    # (Ntst, m*n)       phase-row coeff of local nodes 1..m
     n: int       # static: vf dimension
@@ -41,8 +52,7 @@ class COPBlocks:
     Ntst: int
 
     def tree_flatten(self):
-        return ((self.Aint, self.B0, self.cT, self.rows_rhs_template,
-                 self.phi0, self.phiI),
+        return ((self.Aint, self.B0, self.cT, self.phi0, self.phiI),
                 (self.n, self.m, self.Ntst))
 
     @classmethod
@@ -115,15 +125,128 @@ def collocation_block_jacobian(disc: Collocation, prob_vf, X, po_par
     phi0 = coeff[:, 0, :]                                  # (Ntst, n)
     phiI = coeff[:, 1:, :].reshape(Ntst, m * n)
 
-    return COPBlocks(Aint=Aint, B0=B0, cT=cT,
-                     rows_rhs_template=jnp.zeros((0,)),
-                     phi0=phi0, phiI=phiI, n=n, m=m, Ntst=Ntst)
+    return COPBlocks(Aint=Aint, B0=B0, cT=cT, phi0=phi0, phiI=phiI,
+                     n=n, m=m, Ntst=Ntst)
 
 
 def ravel_vf(prob_vf, x, params):
     from ..core.state import ravel
 
     return ravel(prob_vf.F(x, params))[0]
+
+
+def _stage1(blocks: COPBlocks, rc, dRc=None):
+    """Batched pivoted elimination of the interior collocation unknowns
+    (ref condensation_of_parameters2!, cop.jl:215): per-interval LU (row
+    pivoting inside each (m n) block) and the triangular solves that reduce
+    the node-0 column, the period column, the rhs, and optionally the
+    continuation-parameter column.
+
+    The last n rows of each reduced quantity give the boundary map
+        du_{j+1} = h_j + S_j du_j + t_j dT [+ tp_j dp]."""
+    from ..linalg.linear import dense_factor, dense_factor_solve
+
+    fac = jax.vmap(dense_factor)(blocks.Aint)
+    solve = jax.vmap(dense_factor_solve)
+    H = solve(fac, blocks.B0)                     # (Ntst, m*n, n)
+    k = solve(fac, blocks.cT[..., None])[..., 0]  # (Ntst, m*n)
+    G = solve(fac, rc[..., None])[..., 0]         # (Ntst, m*n)
+    kp = None
+    if dRc is not None:
+        kp = solve(fac, dRc[..., None])[..., 0]   # (Ntst, m*n)
+    return H, k, G, kp
+
+
+def cop_interval_maps(blocks: COPBlocks):
+    """Per-interval fundamental maps S_j (= B_j^{-1} A_j couples of the
+    reference's FloquetColl stage, Floquet.jl:625-659), reusing the stage-1
+    factorization: du_{j+1} = S_j du_j on the homogeneous system."""
+    n = blocks.n
+    H, _, _, _ = _stage1(blocks, jnp.zeros_like(blocks.cT))
+    return -H[:, -n:, :]                          # (Ntst, n, n)
+
+
+def _external_system(blocks: COPBlocks, H, k, G, kp, rc, r_per, r_phase,
+                     dR_per=None, dR_phase=None,
+                     border_row=None, border_rhs=None):
+    """Assemble + solve the pivoted external system on the boundary
+    unknowns y = [du_0..du_Ntst, dT (, dp)] (ref build_external_system!,
+    cop.jl:322, pivoted back-substitution :484).
+
+    Rows: Ntst coupling blocks  du_{j+1} - S_j du_j - t_j dT (- tp_j dp),
+    n periodicity rows, the phase row, and optionally one border row
+    (the PALC arclength constraint, pre-reduced over the local unknowns).
+    Returns (du_bound (Ntst+1, n), dT, dp_or_None)."""
+    n, Ntst = blocks.n, blocks.Ntst
+    dtype = G.dtype
+    bordered = border_row is not None
+    S = -H[:, -n:, :]
+    t = -k[:, -n:]
+    h = G[:, -n:]
+    Next = (Ntst + 1) * n + 1 + (1 if bordered else 0)
+    eye = jnp.eye(n, dtype=dtype)
+
+    # coupling block rows as a (Ntst, n, Ntst+1, n) tensor scatter
+    rowsA = jnp.zeros((Ntst, n, Ntst + 1, n), dtype)
+    jidx = jnp.arange(Ntst)
+    rowsA = rowsA.at[jidx, :, jidx, :].set(-S)
+    rowsA = rowsA.at[jidx, :, jidx + 1, :].add(
+        jnp.broadcast_to(eye, (Ntst, n, n)))
+    coupling = rowsA.reshape(Ntst * n, (Ntst + 1) * n)
+
+    # phase row after substituting the local unknowns:
+    # coeff(du_j) = phi0_j - phiI_j H_j; coeff(dT) = sum_j -phiI_j k_j;
+    # constant = sum_j phiI_j G_j (moves to the rhs)
+    cu = blocks.phi0 - jnp.einsum("jr,jrn->jn", blocks.phiI, H)
+    cT_phase = -jnp.einsum("jr,jr->", blocks.phiI, k)
+    cc_phase = jnp.einsum("jr,jr->", blocks.phiI, G)
+
+    A = jnp.zeros((Next, Next), dtype)
+    A = A.at[:Ntst * n, :(Ntst + 1) * n].set(coupling)
+    A = A.at[:Ntst * n, (Ntst + 1) * n].set(-t.reshape(-1))
+    A = A.at[Ntst * n:(Ntst + 1) * n, 0:n].set(eye)
+    A = A.at[Ntst * n:(Ntst + 1) * n, Ntst * n:(Ntst + 1) * n].add(-eye)
+    prow = (Ntst + 1) * n   # phase-row index
+    A = A.at[prow, :Ntst * n].set(cu.reshape(-1))
+    A = A.at[prow, (Ntst + 1) * n].set(cT_phase)
+    b = jnp.concatenate([h.reshape(-1), r_per,
+                         (r_phase - cc_phase)[None]])
+
+    if bordered:
+        tp = -kp[:, -n:]
+        cp_phase = (-jnp.einsum("jr,jr->", blocks.phiI, kp)
+                    + jnp.asarray(dR_phase, dtype))
+        pcol = Next - 1
+        A = A.at[:Ntst * n, pcol].set(-tp.reshape(-1))
+        A = A.at[Ntst * n:(Ntst + 1) * n, pcol].set(
+            jnp.asarray(dR_per, dtype))
+        A = A.at[prow, pcol].set(cp_phase)
+        A = A.at[Next - 1, :].set(border_row)
+        b = jnp.concatenate([b, jnp.asarray(border_rhs, dtype)[None]])
+
+    from ..linalg.linear import dense_solve
+
+    y = dense_solve(A, b)
+    du_bound = y[:(Ntst + 1) * n].reshape(Ntst + 1, n)
+    dT = y[(Ntst + 1) * n]
+    dp = y[Next - 1] if bordered else None
+    return du_bound, dT, dp
+
+
+def _assemble_nodes(blocks: COPBlocks, H, k, G, kp, du_bound, dT, dp=None):
+    """Back-substitution (batched): local unknowns from the boundary
+    solution, then the node vector in Collocation layout."""
+    n, m, Ntst = blocks.n, blocks.m, blocks.Ntst
+    du_loc = (G - jnp.einsum("jrn,jn->jr", H, du_bound[:Ntst])
+              - k * dT)                                      # (Ntst, m*n)
+    if dp is not None:
+        du_loc = du_loc - kp * dp
+    nodes = jnp.zeros((Ntst * m + 1, n), G.dtype)
+    nodes = nodes.at[0].set(du_bound[0])
+    loc = du_loc.reshape(Ntst, m, n)
+    idx = (jnp.arange(Ntst)[:, None] * m + jnp.arange(1, m + 1)[None, :])
+    nodes = nodes.at[idx.reshape(-1)].set(loc.reshape(-1, n))
+    return jnp.concatenate([nodes.reshape(-1), dT[None]])
 
 
 def cop_solve(blocks: COPBlocks, rhs):
@@ -137,73 +260,64 @@ def cop_solve(blocks: COPBlocks, rhs):
     r_per = rhs[Ntst * m * n: Ntst * m * n + n]
     r_phase = rhs[-1]
 
-    # stage 1: batched factorization of the interval blocks
-    from ..linalg.linear import dense_factor, dense_factor_solve, dense_solve
-    fac = jax.vmap(dense_factor)(blocks.Aint)
-    solve = jax.vmap(dense_factor_solve)
-    H = solve(fac, blocks.B0)                     # (Ntst, m*n, n)
-    k = solve(fac, blocks.cT[..., None])[..., 0]  # (Ntst, m*n)
-    G = solve(fac, rc[..., None])[..., 0]         # (Ntst, m*n)
+    H, k, G, _ = _stage1(blocks, rc)
+    du_bound, dT, _ = _external_system(blocks, H, k, G, None,
+                                       rc, r_per, r_phase)
+    return _assemble_nodes(blocks, H, k, G, None, du_bound, dT)
 
-    # per-interval boundary map: du_{j+1} = S_j du_j + t_j dT + h_j
-    S = -H[:, -n:, :]                              # (Ntst, n, n)
-    t = -k[:, -n:]                                 # (Ntst, n)
-    h = G[:, -n:]                                  # (Ntst, n)
 
-    # chain recursion: du_j = P_j du_0 + q_j dT + r_j
-    eye = jnp.eye(n, dtype=rhs.dtype)
+def cop_solve_bordered(blocks: COPBlocks, rhs, rn, dR, dzu, dzp,
+                       xi_u=1.0, xi_p=1.0, dot_scale=1.0):
+    """One-pass bordered condensation (ref COPBLS, cop.jl:107): solve
 
-    def chain(carry, inp):
-        P, q, r = carry
-        Sj, tj, hj = inp
-        Pn = Sj @ P
-        qn = Sj @ q + tj
-        rn = Sj @ r + hj
-        return (Pn, qn, rn), (P, q, r)   # emit state BEFORE this interval
+        | J      dR  | |dX|   |rhs|
+        | c^T    cp  | |dp| = |rn |
 
-    (Pend, qend, rend), (Ps, qs, rs) = jax.lax.scan(
-        chain, (eye, jnp.zeros(n, rhs.dtype), jnp.zeros(n, rhs.dtype)),
-        (S, t, h))
-    # Ps[j], qs[j], rs[j] give du_j for j = 0..Ntst-1; end gives du_Ntst
+    with c = xi_u * dot_scale * dzu (dzu over ALL unknowns incl. T) and
+    cp = xi_p * dzp.  Returns (dX, dp)."""
+    n, m, Ntst = blocks.n, blocks.m, blocks.Ntst
+    dtype = rhs.dtype
+    rc = rhs[:Ntst * m * n].reshape(Ntst, m * n)
+    r_per = rhs[Ntst * m * n: Ntst * m * n + n]
+    r_phase = rhs[-1]
+    dRc = dR[:Ntst * m * n].reshape(Ntst, m * n)
+    dR_per = dR[Ntst * m * n: Ntst * m * n + n]
+    dR_phase = dR[-1]
 
-    # phase row: sum_j [phi0_j du_j + phiI_j du_loc_j],
-    # du_loc_j = G_j - H_j du_j - k_j dT
-    # coefficient of du_j: phi0_j - phiI_j H_j; of dT: -phiI_j k_j;
-    # constant: phiI_j G_j
-    cu_j = blocks.phi0 - jnp.einsum("jr,jrn->jn", blocks.phiI, H)
-    cT_j = -jnp.einsum("jr,jr->j", blocks.phiI, k)
-    cc_j = jnp.einsum("jr,jr->j", blocks.phiI, G)
-    # substitute du_j = P_j du_0 + q_j dT + r_j
-    phase_u = jnp.einsum("jn,jnk->k", cu_j, Ps)
-    phase_T = jnp.sum(cT_j) + jnp.einsum("jn,jn->", cu_j, qs)
-    phase_c = jnp.sum(cc_j) + jnp.einsum("jn,jn->", cu_j, rs)
+    H, k, G, kp = _stage1(blocks, rc, dRc)
 
-    # external (n+1) system on (du_0, dT):
-    #   periodicity: du_0 - du_Ntst = r_per
-    #   phase:       phase_u du_0 + phase_T dT = r_phase - phase_c
-    Aext = jnp.zeros((n + 1, n + 1), rhs.dtype)
-    Aext = Aext.at[:n, :n].set(eye - Pend)
-    Aext = Aext.at[:n, n].set(-qend)
-    Aext = Aext.at[n, :n].set(phase_u)
-    Aext = Aext.at[n, n].set(phase_T)
-    bext = jnp.concatenate([r_per + rend, (r_phase - phase_c)[None]])
-    sol_ext = dense_solve(Aext, bext)
-    du0 = sol_ext[:n]
-    dT = sol_ext[n]
+    # reduce the border row theta*s*<dzu, dX> + xi_p dzp dp = rn over the
+    # local unknowns du_loc_j = G_j - H_j du_j - k_j dT - kp_j dp
+    w_nodes = dzu[:-1].reshape(Ntst * m + 1, n)
+    wT = dzu[-1]
+    w0 = w_nodes[jnp.arange(Ntst + 1) * m]                  # (Ntst+1, n)
+    idxI = (jnp.arange(Ntst)[:, None] * m + jnp.arange(1, m + 1)[None, :])
+    wI = w_nodes[idxI].reshape(Ntst, m * n)                 # (Ntst, m*n)
+    # each boundary node (j+1)*m is BOTH interval j's m-th local unknown
+    # and the external unknown du_{j+1}; its weight must enter the reduced
+    # row exactly once — through the external (w0) path, so zero the
+    # right-boundary slice of the local weights before substitution
+    wI = wI.at[:, -n:].set(0.0)
+    s = xi_u * dot_scale
+    c_du = jnp.zeros((Ntst + 1, n), dtype).at[:].set(s * w0)
+    c_du = c_du.at[:Ntst].add(-s * jnp.einsum("jr,jrn->jn", wI, H))
+    c_T = s * (wT - jnp.einsum("jr,jr->", wI, k))
+    c_p = -s * jnp.einsum("jr,jr->", wI, kp) + xi_p * dzp
+    c_const = s * jnp.einsum("jr,jr->", wI, G)
 
-    # back-substitution (batched): du_j then du_loc_j
-    du_bound = jnp.einsum("jnk,k->jn", Ps, du0) + qs * dT + rs  # (Ntst, n)
-    du_loc = (G - jnp.einsum("jrn,jn->jr", H, du_bound)
-              - k * dT)                                          # (Ntst, m*n)
+    Next = (Ntst + 1) * n + 2
+    border_row = jnp.zeros((Next,), dtype)
+    border_row = border_row.at[:(Ntst + 1) * n].set(c_du.reshape(-1))
+    border_row = border_row.at[(Ntst + 1) * n].set(c_T)
+    border_row = border_row.at[Next - 1].set(c_p)
+    border_rhs = rn - c_const
 
-    # assemble the node vector: node 0 = du0; interval j contributes local
-    # nodes 1..m at indices j*m+1 .. j*m+m
-    nodes = jnp.zeros((Ntst * m + 1, n), rhs.dtype)
-    nodes = nodes.at[0].set(du0)
-    loc = du_loc.reshape(Ntst, m, n)
-    idx = (jnp.arange(Ntst)[:, None] * m + jnp.arange(1, m + 1)[None, :])
-    nodes = nodes.at[idx.reshape(-1)].set(loc.reshape(-1, n))
-    return jnp.concatenate([nodes.reshape(-1), dT[None]])
+    du_bound, dT, dp = _external_system(
+        blocks, H, k, G, kp, rc, r_per, r_phase,
+        dR_per=dR_per, dR_phase=dR_phase,
+        border_row=border_row, border_rhs=border_rhs)
+    dX = _assemble_nodes(blocks, H, k, G, kp, du_bound, dT, dp)
+    return dX, dp
 
 
 @dataclasses.dataclass(frozen=True)
@@ -221,3 +335,30 @@ class COPLS:
         flat, unravel = ravel(rhs)
         sol = cop_solve(J, flat)
         return unravel(sol), jnp.array(True), jnp.array(1)
+
+
+@dataclasses.dataclass(frozen=True)
+class COPBLS:
+    """Bordered linear solver doing ONE condensation for the whole PALC
+    system (ref COPBLS, cop.jl:107) — drop-in for BorderingBLS in the
+    continuation kernels when the jacobian is COPBlocks.  Auto-wired by
+    `continuation_po(..., use_cop=True)`."""
+
+    needs_matrix = True
+
+    def __call__(self, J: COPBlocks, dR, dzu, dzp, R, n, xi_u=1.0,
+                 xi_p=1.0, shift=None, dotp=None):
+        if shift is not None:
+            raise NotImplementedError("COPBLS does not support shifts")
+        from ..core.state import ravel
+        from ..linalg.bordered import _default_dotp, _dotp_row_scale
+
+        dR_flat, _ = ravel(dR)
+        dzu_flat, unravel_state = ravel(dzu)
+        R_flat, _ = ravel(R)
+        N = dzu_flat.shape[0]
+        scale = _dotp_row_scale(dotp or _default_dotp, dzu_flat, N)
+        dX, dp = cop_solve_bordered(J, R_flat, jnp.asarray(n), dR_flat,
+                                    dzu_flat, jnp.asarray(dzp),
+                                    xi_u=xi_u, xi_p=xi_p, dot_scale=scale)
+        return unravel_state(dX), dp, jnp.array(True), jnp.array(1)

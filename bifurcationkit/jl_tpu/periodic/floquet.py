@@ -64,6 +64,45 @@ def monodromy_from_maps(maps, method: str = "assoc"):
     return prefixes[-1]
 
 
+@dataclasses.dataclass(frozen=True)
+class FloquetColl:
+    """COP-reusing Floquet solver for collocation (ref FloquetColl,
+    Floquet.jl:533-760): stage-1 blockwise elimination of the collocation
+    jacobian yields per-interval fundamental maps S_j (the B_i^{-1} A_i
+    couples of :625-659); the multipliers are the spectrum of their
+    product, accumulated with per-step max-norm renormalization carried in
+    log space so strongly unstable/stable orbits neither overflow nor
+    denormalize f64 (the stabilized form of the :653-660 chain).
+
+    Expects `eig_jacobian` to hand over the COPBlocks
+    (periodic_orbit_problem(..., use_cop=True, floquet="coll"))."""
+
+    is_floquet: bool = True
+
+    def __call__(self, blocks, nev: int):
+        from .cop import cop_interval_maps
+
+        S = cop_interval_maps(blocks)              # (Ntst, n, n)
+        n = S.shape[-1]
+
+        def chain(carry, Sj):
+            P, logs = carry
+            P = Sj @ P
+            s = jnp.maximum(jnp.max(jnp.abs(P)), 1e-300)
+            return (P / s, logs + jnp.log(s)), None
+
+        (P, logs), _ = jax.lax.scan(
+            chain, (jnp.eye(n, dtype=S.dtype),
+                    jnp.zeros((), S.dtype)), S)
+        mult, vecs = dense_eig(P)                  # scaled multipliers
+        expo = jnp.log(mult.astype(_complex_dtype())) + logs
+        order = jnp.lexsort((-expo.imag, -expo.real))
+        expo = expo[order]
+        vecs = vecs[:, order]
+        nev = min(nev, n)
+        return expo[:nev], vecs[:, :nev], jnp.array(True), jnp.array(1)
+
+
 def floquet_multipliers(disc, prob_vf, X, po_par):
     """Host-friendly: the Floquet multipliers of an orbit."""
     Mn = disc.monodromy(prob_vf, X, po_par)

@@ -155,16 +155,6 @@ def periodic_orbit_problem(prob_vf: BifurcationProblem, disc, X0,
             new.update(disc.section_data(prob_vf, X, par["_inner"]))
         return new
 
-    if floquet == "gev":
-        if not isinstance(disc, Collocation):
-            raise ValueError("floquet='gev' requires Collocation")
-
-        def eig_jacobian(X, par):
-            return disc.interval_maps(prob_vf, X, par)
-    else:
-        def eig_jacobian(X, par):
-            return disc.monodromy(prob_vf, X, par)
-
     jac = None
     if use_cop:
         if not isinstance(disc, Collocation):
@@ -173,6 +163,25 @@ def periodic_orbit_problem(prob_vf: BifurcationProblem, disc, X0,
 
         jac = lambda X, par: collocation_block_jacobian(disc, prob_vf, X,
                                                         par)
+
+    if floquet == "gev":
+        if not isinstance(disc, Collocation):
+            raise ValueError("floquet='gev' requires Collocation")
+
+        def eig_jacobian(X, par):
+            return disc.interval_maps(prob_vf, X, par)
+    elif floquet == "coll":
+        # COP-reusing FloquetColl (ref Floquet.jl:533-760): the stability
+        # solve consumes the same structured blocks as the Newton solve
+        if not isinstance(disc, Collocation):
+            raise ValueError("floquet='coll' requires Collocation")
+        from .cop import collocation_block_jacobian as _cbj
+
+        def eig_jacobian(X, par):
+            return _cbj(disc, prob_vf, X, par)
+    else:
+        def eig_jacobian(X, par):
+            return disc.monodromy(prob_vf, X, par)
     po_prob = BifurcationProblem(F_po, u0=X0, params=po_par, lens=lens,
                                  jac=jac,
                                  record_from_solution=record, update=update)
@@ -185,9 +194,11 @@ def periodic_orbit_problem(prob_vf: BifurcationProblem, disc, X0,
 
 def _po_contparams(cp: ContinuationPar) -> ContinuationPar:
     """PO defaults: Floquet eigensolver + looser stability tolerance
-    (the trivial multiplier sits at exponent 0)."""
+    (the trivial multiplier sits at exponent 0).  Any user-chosen Floquet
+    solver (FloquetColl/FloquetGEV/...) is kept — only a non-Floquet
+    eigensolver is replaced."""
     nopts = cp.newton_options
-    if not isinstance(nopts.eigsolver, FloquetEig):
+    if not getattr(nopts.eigsolver, "is_floquet", False):
         nopts = nopts.replace(eigsolver=FloquetEig())
     tol_stab = max(cp.tol_stability, 1e-6)
     return cp.replace(newton_options=nopts, tol_stability=tol_stab)
@@ -202,20 +213,41 @@ def newton_po(prob_vf, disc, X0, params=None,
     return newton(po_prob, options, **kwargs), po_prob
 
 
+def _floquet_mode(contparams: ContinuationPar, floquet=None) -> str:
+    """Pick the eig_jacobian flavor matching the configured Floquet solver
+    (FloquetColl wants the COP blocks, FloquetGEV the interval maps)."""
+    if floquet is not None:
+        return floquet
+    from .floquet import FloquetColl, FloquetGEV
+
+    eig = contparams.newton_options.eigsolver
+    if isinstance(eig, FloquetColl):
+        return "coll"
+    if isinstance(eig, FloquetGEV):
+        return "gev"
+    return "qad"
+
+
 def continuation_po(prob_vf, disc, X0, contparams: ContinuationPar,
                     alg=None, params=None, use_cop: bool = False,
-                    **kwargs) -> Branch:
+                    floquet=None, **kwargs) -> Branch:
     """Continue a periodic orbit in the vector field's lens parameter."""
     alg = alg or PALC()
     po_prob = periodic_orbit_problem(prob_vf, disc, X0, params=params,
-                                     use_cop=use_cop)
+                                     use_cop=use_cop,
+                                     floquet=_floquet_mode(contparams,
+                                                           floquet))
     cp = _po_contparams(contparams)
     if use_cop:
-        from .cop import COPLS
+        from .cop import COPBLS, COPLS
 
         nopts = cp.newton_options
         if not isinstance(nopts.linsolver, COPLS):
             cp = cp.replace(newton_options=nopts.replace(linsolver=COPLS()))
+        # PALC rides the single-pass bordered condensation (ref COPBLS,
+        # cop.jl:107): one stage-1 per corrector iteration, not two
+        if isinstance(alg, PALC) and alg.bls is None:
+            alg = dataclasses.replace(alg, bls=COPBLS())
     gamma = continuation(po_prob, alg, cp, kind="PeriodicOrbitCont",
                          **kwargs)
     return Branch(gamma=gamma, bp=None)
@@ -253,14 +285,17 @@ def _continuation_hopf_pred(prob_vf, hp, contparams, disc, alg=None,
     X0 = disc.generate_solution(orbit_fn, period, n)
     params_new = prob_vf.set_lens_param(prob_vf.params, p_new)
     po_prob = periodic_orbit_problem(prob_vf, disc, X0, params=params_new,
-                                     use_cop=use_cop)
+                                     use_cop=use_cop,
+                                     floquet=_floquet_mode(contparams))
     cp = _po_contparams(contparams)
     if use_cop:
-        from .cop import COPLS
+        from .cop import COPBLS, COPLS
 
         nopts = cp.newton_options
         if not isinstance(nopts.linsolver, COPLS):
             cp = cp.replace(newton_options=nopts.replace(linsolver=COPLS()))
+        if isinstance(alg, PALC) and alg.bls is None:
+            alg = dataclasses.replace(alg, bls=COPBLS())
     gamma = continuation(po_prob, alg, cp, kind="PeriodicOrbitCont",
                          **kwargs)
     return Branch(gamma=gamma, bp=hp)

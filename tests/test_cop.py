@@ -92,3 +92,106 @@ def test_continuation_po_with_cop():
     # exact period at r: 2 pi / |mu - nu r|
     exact = 2 * np.pi / np.abs(MU - NU * np.asarray(tbl["param"]))
     np.testing.assert_allclose(np.asarray(tbl["period"]), exact, rtol=1e-6)
+
+
+def test_cop_bordered_single_pass_matches_dense():
+    """COPBLS condenses [J dR; c' cp] in ONE pass (ref cop.jl:107);
+    parity vs the dense (N+1) solve."""
+    prob, disc, X0, po = _setup()
+    blocks = collocation_block_jacobian(disc, prob, X0, po.params)
+    J_ad = np.asarray(jax.jacfwd(lambda X: po.F(X, po.params))(X0))
+    N = X0.shape[0]
+    rng = np.random.default_rng(3)
+    dR = rng.standard_normal(N)
+    dzu = rng.standard_normal(N)
+    dzp = 0.7
+    R = rng.standard_normal(N)
+    rn = 0.3
+    theta = 0.5
+    scale = 1.0 / N          # the normalized PALC dot
+    Aext = np.zeros((N + 1, N + 1))
+    Aext[:N, :N] = J_ad
+    Aext[:N, N] = dR
+    Aext[N, :N] = theta * scale * dzu
+    Aext[N, N] = (1 - theta) * dzp
+    sol = np.linalg.solve(Aext, np.concatenate([R, [rn]]))
+
+    from bifurcationkit.jl_tpu.periodic.cop import COPBLS
+    from bifurcationkit.jl_tpu.linalg.bordered import _default_dotp
+
+    dX, dp, cv, _ = COPBLS()(blocks, jnp.asarray(dR), jnp.asarray(dzu),
+                             jnp.asarray(dzp), jnp.asarray(R),
+                             jnp.asarray(rn), theta, 1 - theta,
+                             dotp=_default_dotp)
+    np.testing.assert_allclose(np.asarray(dX), sol[:N], atol=1e-7)
+    np.testing.assert_allclose(float(dp), sol[N], atol=1e-9)
+
+
+def _unstable_setup(lam=0.35, Ntst=100, m=3):
+    """Orbit with a strongly unstable Floquet multiplier: Stuart-Landau
+    extended by a decoupled unstable mode y' = lam*y restricted to the
+    orbit's period; mu_unstable = exp(lam*T) ~ 1e3 上 for lam*T ~ 7."""
+    import bifurcationkit.jl_tpu as bk
+    from bifurcationkit.jl_tpu.core.problem import BifurcationProblem
+
+    def F(u, par):
+        x, y, w = u[0], u[1], u[2]
+        r, mu, nu = par["r"], par["mu"], par["nu"]
+        a = x * x + y * y
+        return jnp.array([
+            r * x - mu * y - (x - nu * y) * a,
+            mu * x + r * y - (y + nu * x) * a,
+            lam * w,
+        ])
+
+    prob = BifurcationProblem(F, u0=jnp.zeros(3),
+                              params={"r": R0, "mu": MU, "nu": NU},
+                              lens="r")
+    disc = bk.Collocation(Ntst=Ntst, m=m)
+
+    def orbit(t):
+        s = np.sign(OMEGA)
+        return np.array([RADIUS * np.cos(s * t), RADIUS * np.sin(s * t),
+                         0.0])
+
+    X0 = disc.generate_solution(orbit, PERIOD, 3)
+    po = periodic_orbit_problem(prob, disc, X0)
+    return prob, disc, X0, po
+
+
+def test_cop_solve_stable_on_strongly_unstable_orbit():
+    """VERDICT #3 'Done' criterion: COP-vs-dense parity at Ntst=100 on an
+    orbit with ||mu_max|| ~ 1e3 — the exact regime where an unpivoted
+    chain elimination loses digits."""
+    prob, disc, X0, po = _unstable_setup(lam=0.055, Ntst=100, m=3)
+    # lam*T = 0.055 * 125.7 ~ 6.9 -> mu ~ 1e3
+    blocks = collocation_block_jacobian(disc, prob, X0, po.params)
+    J_ad = np.asarray(jax.jacfwd(lambda X: po.F(X, po.params))(X0))
+    rng = np.random.default_rng(7)
+    rhs = jnp.asarray(rng.standard_normal(X0.shape[0]))
+    x_cop = np.asarray(cop_solve(blocks, rhs))
+    x_dense = np.linalg.solve(J_ad, np.asarray(rhs))
+    scale = np.linalg.norm(x_dense)
+    assert np.linalg.norm(x_cop - x_dense) / scale < 1e-9
+
+
+def test_floquet_coll_multipliers():
+    """FloquetColl (COP stage-1 maps + log-renormalized product) recovers
+    the analytic multipliers: trivial mu=1, radial exp(-2 r T), and the
+    planted unstable exp(lam T) ~ 1e3 without overflow."""
+    lam = 0.055
+    prob, disc, X0, po = _unstable_setup(lam=lam, Ntst=60, m=4)
+    from bifurcationkit.jl_tpu.periodic.cop import (
+        collocation_block_jacobian as cbj)
+    from bifurcationkit.jl_tpu.periodic.floquet import FloquetColl
+
+    blocks = cbj(disc, prob, X0, po.params)
+    expo, vecs, cv, _ = FloquetColl()(blocks, 3)
+    got = np.sort(np.asarray(expo.real))[::-1]
+    # leading exponents (what stability detection consumes) are exact;
+    # the third at -2 r T ~ -126 underflows the product's f64 spectrum —
+    # the documented product-method limitation the reference shares
+    # (Floquet.jl:28-31; FloquetGEV is the accurate alternative) — and
+    # must still read as strongly stable
+    np.testing.assert_allclose(got[:2], [lam * PERIOD, 0.0], atol=2e-3)
+    assert got[2] < -30.0
