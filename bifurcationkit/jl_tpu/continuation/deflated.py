@@ -96,8 +96,8 @@ def deflated_continuation(prob, alg: DefCont,
         rec = {k: np.asarray(jax.device_get(v)) for k, v in rec.items()}
         n_unstable = -1
         if cp.compute_eigenelements:
-            vals, vecs, cv = it.kernels.eig(branch["sol"], jnp.asarray(p),
-                                            prob.params)
+            vals, vecs, cv, _ = it.kernels.eig(branch["sol"], jnp.asarray(p),
+                                               prob.params)
             vals_np = np.asarray(vals)
             n_unstable = int(np.sum(vals_np.real > cp.tol_stability))
         rec.update({"param": p, "step": step, "n_unstable": n_unstable,

@@ -48,6 +48,7 @@ class ContState:
     stepsizecontrol: bool = True
     in_bisection: bool = False
     event_values: Optional[tuple] = None     # (current, previous)
+    eig_seed: Any = None                     # Arnoldi warm-start (device)
 
     _p_cache: Any = None
     _p_old_cache: Any = None
@@ -148,8 +149,10 @@ class ContIterable:
     # eigen-elements + stability counters (ref is_stable, Bifurcations.jl:5)
     # ------------------------------------------------------------------
     def compute_eig(self, state: ContState):
-        vals, vecs, cv = self.kernels.eig(state.z.u, state.z.p,
-                                          self._params())
+        vals, vecs, cv, seed = self.kernels.eig(state.z.u, state.z.p,
+                                                self._params(),
+                                                state.eig_seed)
+        state.eig_seed = seed
         vals_np = np.asarray(vals)
         tol = self.contparams.tol_stability
         n_unstable = int(np.sum(vals_np.real > tol))
@@ -160,6 +163,25 @@ class ContIterable:
         state.converged_eig = bool(cv)
         state.n_unstable = (n_unstable, state.n_unstable[0])
         state.n_imag = (n_imag, state.n_imag[0])
+        self._maybe_raise_nev(state)
+
+    def _maybe_raise_nev(self, state: ContState):
+        """Grow the eigensolve window to n_unstable + 5 (ref the nev
+        auto-raise in compute_eigenvalues!, src/Utils.jl:67-105) so a
+        branch destabilizing in more than `nev` directions never saturates
+        the detection counts.  Kernels are memoized per nev (rounded up to
+        a multiple of 4 to bound recompiles)."""
+        kn = self.kernels
+        need = state.n_unstable[0] + 5
+        if need <= kn.nev or kn.nev >= kn.n_state:
+            return
+        new_nev = min(int(-(-need // 4) * 4), kn.n_state)
+        cache = self.__dict__.setdefault("_kernels_by_nev", {kn.nev: kn})
+        if new_nev not in cache:
+            cache[new_nev] = make_kernels(
+                self.prob, self.base_alg, self.contparams, self.norm,
+                callback=self.callback_newton, nev=new_nev)
+        self.kernels = cache[new_nev]
 
     def _params(self):
         return self.current_params
@@ -228,8 +250,10 @@ class ContIterable:
         elif self._can_fuse(state):
             # single-dispatch fused step (predictor+corrector+tangent+eig)
             (z_new, tau_new, cv, itn, itl, res, vals, vecs,
-             cv_eig) = self.kernels.palc_full_step(
-                state.z, state.tau, jnp.asarray(ds), self._params())
+             cv_eig, eig_seed) = self.kernels.palc_full_step(
+                state.z, state.tau, jnp.asarray(ds), self._params(),
+                state.eig_seed)
+            state.eig_seed = eig_seed
             # one batched device->host transfer for all step scalars
             cv, itn, itl, res, vals_h, cv_eig, p_new = jax.device_get(
                 (cv, itn, itl, res, vals, cv_eig, z_new.p))
@@ -256,6 +280,7 @@ class ContIterable:
                     state.n_imag = (int(np.sum(
                         (np.abs(vals_np.imag) > tol)
                         & (vals_np.real > tol))), state.n_imag[0])
+                    self._maybe_raise_nev(state)
             if state.stepsizecontrol:
                 self.step_size_control(state)
             state.step += 1

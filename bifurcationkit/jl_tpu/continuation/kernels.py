@@ -68,8 +68,12 @@ def _pick_jac(prob, linsolver):
 
 def make_kernels(prob, alg, contparams: ContinuationPar,
                  norm: Callable = tree_norm, dot_theta: DotTheta = None,
-                 callback: Callable = None):
-    """Build the jitted kernels for one (problem, algorithm, options) triple."""
+                 callback: Callable = None, nev: int = None):
+    """Build the jitted kernels for one (problem, algorithm, options) triple.
+
+    `nev` overrides contparams.nev — the engine rebuilds (memoized) with a
+    larger request when a branch destabilizes in more directions than the
+    current spectrum window (ref the nev auto-raise, src/Utils.jl:67-105)."""
     nopts = contparams.newton_options
     theta = float(getattr(alg, "theta", 0.5))
     dot_t = dot_theta or DotTheta()
@@ -321,7 +325,8 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
     # eigen-elements (ref compute_eigenvalues, src/Utils.jl:67-105)
     # ------------------------------------------------------------------
     eigsolver = nopts.eigsolver
-    nev = min(contparams.nev, n_state)
+    nev = min(contparams.nev if nev is None else nev, n_state)
+    eigsolver = _widen_eigsolver(eigsolver, nev)
 
     # dense-matrix eigensolvers get jacfwd; iterative ones get a jvp operator
     from .. import linalg as _linalg
@@ -342,8 +347,20 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
     # PALC residuals are untouched.
     eig_dtype = getattr(eigsolver, "compute_dtype", None)
 
+    # Arnoldi-family solvers warm-start from the previous step's Ritz
+    # directions (the spectrum moves little along a branch, so a warm solve
+    # usually converges in ONE factorization and the cond-gated restart is
+    # skipped).  The seed is a flat device array threaded through the step.
+    eig_accepts_v0 = isinstance(eigsolver, (ArnoldiEig,
+                                            _linalg.ShiftInvertEig))
+    seed_dtype = eig_dtype or (jnp.float64 if jax.config.jax_enable_x64
+                               else jnp.float32)
+
+    def eig_seed0():
+        return jnp.zeros((n_state,), seed_dtype)   # zero -> random start
+
     @jax.jit
-    def _eig_device(u, p, params):
+    def _eig_device(u, p, params, eig_seed):
         par = set_p(params, p)
         if eig_jac is not None:
             J = eig_jac(u, par)
@@ -357,10 +374,16 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
                                  n_state, eig_dtype)
             else:
                 J = FlatOperator(_flat_op(prob, u, par), n_state)
-        vals, vecs, cv, _ = eigsolver(J, nev)
+        if eig_accepts_v0:
+            vals, vecs, cv, _ = eigsolver(J, nev, v0=eig_seed)
+        else:
+            vals, vecs, cv, _ = eigsolver(J, nev)
+        seed_new = eig_seed
+        if eig_accepts_v0 and vecs is not None:
+            seed_new = jnp.real(jnp.sum(vecs, axis=1)).astype(seed_dtype)
         if not contparams.save_eigenvectors:
             vecs = None
-        return vals, vecs, cv
+        return vals, vecs, cv, seed_new
 
     def _split_cplx(x):
         # complex arrays cannot cross the TPU tunnel (axon device->host
@@ -374,14 +397,17 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
         return np.asarray(pair[0]) + 1j * np.asarray(pair[1])
 
     @jax.jit
-    def _eig_kernel_split(u, p, params):
-        vals, vecs, cv = _eig_device(u, p, params)
-        return _split_cplx(vals), _split_cplx(vecs), cv
+    def _eig_kernel_split(u, p, params, eig_seed):
+        vals, vecs, cv, seed = _eig_device(u, p, params, eig_seed)
+        return _split_cplx(vals), _split_cplx(vecs), cv, seed
 
-    def eig_kernel(u, p, params):
-        """Host-facing eig: returns NUMPY complex (vals, vecs) + cv."""
-        vals_p, vecs_p, cv = _eig_kernel_split(u, p, params)
-        return _join_cplx(vals_p), _join_cplx(vecs_p), cv
+    def eig_kernel(u, p, params, eig_seed=None):
+        """Host-facing eig: returns NUMPY complex (vals, vecs) + cv + the
+        device-side warm-start seed for the next call."""
+        if eig_seed is None:
+            eig_seed = eig_seed0()
+        vals_p, vecs_p, cv, seed = _eig_kernel_split(u, p, params, eig_seed)
+        return _join_cplx(vals_p), _join_cplx(vecs_p), cv, seed
 
     # ------------------------------------------------------------------
     # fused full PALC step: predictor + corrector + secant tangent + eig in
@@ -392,7 +418,7 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
 
     @jax.jit
     def _palc_full_step_split(z: BorderedState, tau: BorderedState, ds,
-                              params):
+                              params, eig_seed):
         z_pred = BorderedState(u=tree_axpy(ds, tau.u, z.u),
                                p=z.p + ds * tau.p)
         z_new, cv, itn, itl, res = palc_corrector(z_pred, z, tau, ds, params)
@@ -402,18 +428,22 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
         tau_acc = jax.tree_util.tree_map(
             lambda a, b: jnp.where(cv, a, b), tau_new, tau)
         if compute_eig_in_step:
-            vals, vecs, cv_eig = _eig_device(z_acc.u, z_acc.p, params)
+            vals, vecs, cv_eig, seed = _eig_device(z_acc.u, z_acc.p, params,
+                                                   eig_seed)
         else:
-            vals, vecs, cv_eig = (jnp.zeros((0,)), None, jnp.array(True))
+            vals, vecs, cv_eig, seed = (jnp.zeros((0,)), None,
+                                        jnp.array(True), eig_seed)
         return (z_acc, tau_acc, cv, itn, itl, res, _split_cplx(vals),
-                _split_cplx(vecs), cv_eig)
+                _split_cplx(vecs), cv_eig, seed)
 
-    def palc_full_step(z, tau, ds, params):
+    def palc_full_step(z, tau, ds, params, eig_seed=None):
         """Host-facing fused step: complex eig outputs as numpy."""
+        if eig_seed is None:
+            eig_seed = eig_seed0()
         (z_acc, tau_acc, cv, itn, itl, res, vals_p, vecs_p,
-         cv_eig) = _palc_full_step_split(z, tau, ds, params)
+         cv_eig, seed) = _palc_full_step_split(z, tau, ds, params, eig_seed)
         return (z_acc, tau_acc, cv, itn, itl, res, _join_cplx(vals_p),
-                _join_cplx(vecs_p), cv_eig)
+                _join_cplx(vecs_p), cv_eig, seed)
 
     return SimpleNamespace(
         newton_fixed=newton_fixed,
@@ -423,6 +453,7 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
         secant_tangent=secant_tangent,
         bordered_tangent=bordered_tangent,
         eig=eig_kernel,
+        eig_seed0=eig_seed0,
         theta=theta,
         n_state=n_state,
         nev=nev,
@@ -431,6 +462,19 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
         dot_t=dot_t,
         is_floquet=getattr(eigsolver, "is_floquet", False),
     )
+
+
+def _widen_eigsolver(eig, nev):
+    """Ensure an iterative eigensolver's Krylov space can actually hold
+    `nev` converged Ritz pairs (needed once the engine auto-raises nev)."""
+    if isinstance(eig, ArnoldiEig) and eig.krylov_dim < nev + 8:
+        return dataclasses.replace(eig, krylov_dim=nev + 12)
+    inner = getattr(eig, "eigsolver", None)
+    if inner is not None:
+        widened = _widen_eigsolver(inner, nev)
+        if widened is not inner:
+            return dataclasses.replace(eig, eigsolver=widened)
+    return eig
 
 
 def _flat_op(prob, u, par, out_dtype=None):

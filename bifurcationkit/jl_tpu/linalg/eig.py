@@ -367,7 +367,11 @@ class ArnoldiEig:
     # built at this dtype by the continuation kernels (kernels.py).
     compute_dtype: Any = None
 
-    def __call__(self, J, nev: int):
+    def __call__(self, J, nev: int, v0=None):
+        """`v0` optionally warm-starts the Arnoldi process (e.g. with the
+        previous continuation step's Ritz directions — the spectrum moves
+        little between steps, so one factorization usually converges).
+        A zero/None v0 falls back to the deterministic random start."""
         if self.compute_dtype is not None and not is_operator(J):
             J = J.astype(self.compute_dtype)
         matvec, n, dtype = _as_flat_matvec(J)
@@ -375,7 +379,13 @@ class ArnoldiEig:
         cdtype = _complex_dtype()
 
         key = jax.random.PRNGKey(self.seed)
-        v0 = jax.random.normal(key, (n,), dtype)
+        v_rand = jax.random.normal(key, (n,), dtype)
+        if v0 is None:
+            v0 = v_rand
+        else:
+            v0 = v0.astype(dtype)
+            nrm0 = jnp.linalg.norm(v0)
+            v0 = jnp.where(nrm0 > 0, v0, v_rand)
 
         which_lm = self.which == "LM"
 
@@ -460,20 +470,25 @@ class ArnoldiEig:
             return jnp.all(resid_k[:nev] < tol_eff * scale)
 
         for _ in range(self.restarts - 1):
-            # explicit restart: recombine the wanted Ritz directions
+            # explicit restart: recombine the wanted Ritz directions — but
+            # only when unconverged (lax.cond: a converged solve must not
+            # pay for another m-matvec factorization, the dominant cost of
+            # per-step stability sweeps)
             conv = _conv(vals, resid)
-            # cast the basis to the complex dtype BEFORE the product:
-            # f64 @ c64 promotes to c128, which the TPU compiler rejects
-            wsum = jnp.real(V[:m].T.astype(cdtype)
-                            @ jnp.sum(y[:, :nev], axis=1)).astype(dtype)
-            v_new = jnp.where(conv, V[0], wsum / jnp.maximum(
-                jnp.linalg.norm(wsum), 1e-300))
-            V2, H2 = one_factorization(v_new)
-            vals2, y2, resid2 = ritz_callback(H2[:m, :m], H2[m, m - 1])
-            V = jnp.where(conv, V, V2)
-            vals = jnp.where(conv, vals, vals2)
-            y = jnp.where(conv, y, y2)
-            resid = jnp.where(conv, resid, resid2)
+
+            def _restart(op):
+                V, vals, y, resid = op
+                # cast the basis to the complex dtype BEFORE the product:
+                # f64 @ c64 promotes to c128, which the TPU compiler rejects
+                wsum = jnp.real(V[:m].T.astype(cdtype)
+                                @ jnp.sum(y[:, :nev], axis=1)).astype(dtype)
+                v_new = wsum / jnp.maximum(jnp.linalg.norm(wsum), 1e-300)
+                V2, H2 = one_factorization(v_new)
+                vals2, y2, resid2 = ritz_callback(H2[:m, :m], H2[m, m - 1])
+                return V2, vals2, y2, resid2
+
+            V, vals, y, resid = jax.lax.cond(
+                conv, lambda op: op, _restart, (V, vals, y, resid))
 
         vecs = (V[:m].T.astype(cdtype)) @ y[:, :nev]
         converged = _conv(vals, resid)
@@ -496,7 +511,7 @@ class ShiftInvertEig:
     # Ritz values carry ~sqrt(eps) error, ample for count-based detection.
     compute_dtype: Any = None
 
-    def __call__(self, J, nev: int):
+    def __call__(self, J, nev: int, v0=None):
         from .linear import DenseLS
 
         if self.compute_dtype is not None and not is_operator(J):
@@ -530,7 +545,10 @@ class ShiftInvertEig:
             op = FlatOperator(
                 lambda v: dense_factor_solve(fac, v), n, J.dtype)
 
-        vals, vecs, cv, it = self.eigsolver(op, nev)
+        try:
+            vals, vecs, cv, it = self.eigsolver(op, nev, v0=v0)
+        except TypeError:
+            vals, vecs, cv, it = self.eigsolver(op, nev)
         new_vals = sigma + 1.0 / vals
         order = jnp.lexsort((-new_vals.imag, -new_vals.real))
         new_vals = new_vals[order]

@@ -95,23 +95,28 @@ def main():
     it0 = ContIterable(prob.re_make(u0=u), bk.PALC(), cp)
     kern = it0.kernels
 
-    def eig_call():
+    def eig_call(seed=None):
         # kern.eig returns host numpy (already synced)
-        vals, vecs, cv = kern.eig(u, jnp.asarray(-0.1), par)
-        return np.asarray(vals)
+        vals, vecs, cv, seed = kern.eig(u, jnp.asarray(-0.1), par, seed)
+        return np.asarray(vals), seed
 
-    eig_call()
+    _, seed = eig_call()
     t0 = time.perf_counter()
     for _ in range(3):
         eig_call()
-    print(f"eig: {(time.perf_counter()-t0)/3:.3f}s")
+    print(f"eig cold: {(time.perf_counter()-t0)/3:.3f}s")
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _, seed = eig_call(seed)
+    print(f"eig warm-started: {(time.perf_counter()-t0)/3:.3f}s")
 
     # fused palc step
     state = it0.init_state()
     z, tau = state.z, state.tau
 
     def full_step():
-        out = kern.palc_full_step(z, tau, jnp.asarray(-0.005), par)
+        out = kern.palc_full_step(z, tau, jnp.asarray(-0.005), par,
+                                  state.eig_seed)
         return out[2]
 
     full_step()

@@ -90,7 +90,7 @@ def test_mixed_precision_stability_sweep():
                             max_steps=1, nev=6,
                             newton_options=bk.NewtonPar(eigsolver=si32))
     kern = make_kernels(prob, bk.PALC(), cp)
-    vals, _, cv = kern.eig(prob.u0, jnp.asarray(par[prob.lens]), par)
+    vals, _, cv, _ = kern.eig(prob.u0, jnp.asarray(par[prob.lens]), par)
     assert bool(cv)
     assert np.abs(np.asarray(vals)[:6] - ref).max() < 5e-3
 
