@@ -47,7 +47,23 @@ from ..newton import newton
 def _border_solve(J, a, b, shift=None):
     """Solve [J + shift*I, a; b', 0][v; sigma] = [0; 1]; returns (v, sigma).
     (ref test_ma / _compute_bordered_vectors, src/codim2/MinAugFold.jl:44-80)
-    """
+
+    A complex shift over a REAL jacobian routes through the 2(n+1)
+    real-block embedding (TPU-safe, f64-grade — see _border_solve_reim)."""
+    if (shift is not None and not jnp.iscomplexobj(J)
+            and (jnp.iscomplexobj(jnp.asarray(shift))
+                 or jnp.iscomplexobj(a))):
+        from ..linalg.eig import _complex_dtype
+
+        sh = jnp.asarray(shift)
+        vr, vi, sr, si = _border_solve_reim(
+            J, a, b, jnp.real(sh).astype(J.dtype),
+            jnp.imag(sh).astype(J.dtype))
+        cdtype = _complex_dtype()
+        rdt = jnp.float32 if cdtype == jnp.complex64 else jnp.float64
+        v = jax.lax.complex(vr.astype(rdt), vi.astype(rdt))
+        sig = jax.lax.complex(sr.astype(rdt), si.astype(rdt))
+        return v, sig
     n = J.shape[0]
     dtype = jnp.result_type(J, a, b, *([shift] if shift is not None else []))
     A = jnp.zeros((n + 1, n + 1), dtype)
@@ -67,6 +83,36 @@ def _adjoint_border_solve(J, a, b, shift=None):
     Jt = jnp.conj(J).T if jnp.iscomplexobj(J) else J.T
     sh = None if shift is None else jnp.conj(shift)
     return _border_solve(Jt, b, a, sh)
+
+
+def _border_solve_reim(J, a, b, shift_re, shift_im):
+    """Complex bordered solve [J + (sr + i si) I, a; b^H, 0][v; sig] = [0; 1]
+    in REAL arithmetic via the 2(n+1) block embedding
+    [[Mr, -Mi], [Mi, Mr]] — f64-grade sigma on TPU, where native complex
+    caps at c64 (VERDICT r1 #5; SURVEY 'Hard parts: complex arithmetic';
+    ref the same device trick in linalg.eig.inverse_iteration_vectors).
+    J must be real.  Returns (v_re, v_im, sig_re, sig_im) at J.dtype."""
+    from ..linalg.linear import dense_solve
+
+    n = J.shape[0]
+    dt = J.dtype
+    ar = jnp.real(a).astype(dt)
+    ai = jnp.imag(a).astype(dt)
+    br = jnp.real(b).astype(dt)
+    bi = jnp.imag(b).astype(dt)
+    eye = jnp.eye(n, dtype=dt)
+    Mr = jnp.zeros((n + 1, n + 1), dt)
+    Mr = Mr.at[:n, :n].set(J + shift_re * eye)
+    Mr = Mr.at[:n, n].set(ar)
+    Mr = Mr.at[n, :n].set(br)          # Re(b^H) row
+    Mi = jnp.zeros((n + 1, n + 1), dt)
+    Mi = Mi.at[:n, :n].set(shift_im * eye)
+    Mi = Mi.at[:n, n].set(ai)
+    Mi = Mi.at[n, :n].set(-bi)         # Im(b^H) row = -Im(b)^T
+    big = jnp.block([[Mr, -Mi], [Mi, Mr]])
+    rhs = jnp.zeros((2 * (n + 1),), dt).at[n].set(1.0)
+    sol = dense_solve(big, rhs)
+    return sol[:n], sol[n + 1:2 * n + 1], sol[n], sol[2 * n + 1]
 
 
 # ---------------------------------------------------------------------------
@@ -145,11 +191,12 @@ def hopf_ma_problem(prob: BifurcationProblem, lens1, lens2,
         J = prob.jacobian(unravel(x), params)
         # lambda = +i*omega convention: J - i*omega*I is the singular
         # operator with right null vector zeta (ref MinAugHopf.jl:19-80,
-        # which uses the conjugate convention)
-        _, sigma = _border_solve(J, par["_a"], par["_b"],
-                                 shift=-1j * omega)
-        return jnp.concatenate([F, jnp.real(sigma)[None],
-                                jnp.imag(sigma)[None]])
+        # which uses the conjugate convention).  The complex-shifted
+        # bordered solve runs in the 2(n+1) REAL embedding so sigma keeps
+        # full working precision on TPU (complex there is c64-only).
+        _, _, sig_re, sig_im = _border_solve_reim(
+            J, par["_a"], par["_b"], jnp.zeros((), J.dtype), -omega)
+        return jnp.concatenate([F, sig_re[None], sig_im[None]])
 
     lens = Lens(
         get=lambda par: outer_lens.get(par["_inner"]),
