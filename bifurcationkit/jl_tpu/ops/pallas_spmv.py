@@ -85,14 +85,21 @@ def dia_spmv_pallas(A: DIAMatrix, v, interpret: bool = False):
 def dia_spmv(A: DIAMatrix, v, use_pallas: bool = False):
     """DIA SpMV dispatch.
 
-    Default = the XLA pad+slice matvec: measured at ~full HBM bandwidth on
-    v5e (984 GB/s, 176 Gnnz/s for a 5-diagonal 1M-row matrix), faster than
-    the current Pallas kernel (the 1-D tiled pipeline underutilizes DMA).
-    The Pallas path remains available as the extension point for fusing the
-    SpMV with neighboring ops (e.g. dot products inside GMRES)."""
+    Default = the XLA pad+slice matvec, measured at ~full HBM bandwidth on
+    v5e (984 GB/s, 176 Gnnz/s for a 5-diagonal 1M-row matrix — docs/PERF.md).
+    A standalone generic Pallas DIA kernel cannot beat a bandwidth-bound op
+    that already saturates the memory system, so it is deliberately NOT the
+    default; Pallas earns its keep where FUSION across op boundaries is the
+    win — see the SH stencil J.v kernel (ops/pallas_sh.py), which beats the
+    XLA lowering by keeping the whole radius-2 window in VMEM.
+
+    `use_pallas=True` opts into the standalone kernel explicitly; it
+    requires a TPU backend and raises on anything else (no silent
+    fallback)."""
     if use_pallas:
-        try:
-            return dia_spmv_pallas(A, v)
-        except Exception:
-            pass
+        if jax.default_backend() != "tpu":
+            raise ValueError(
+                "dia_spmv(use_pallas=True) requires the TPU backend; the "
+                "default XLA lowering is the supported path elsewhere")
+        return dia_spmv_pallas(A, v)
     return A.matvec(v)

@@ -56,7 +56,8 @@ def main(N=256):
     # detection is count-based, ~1e-5 eigenvalue error is ample, 32x faster
     eig = bk.ShiftInvertEig(
         sigma=0.1,
-        eigsolver=bk.ArnoldiEig(which="LM", krylov_dim=40, restarts=2),
+        eigsolver=bk.ArnoldiEig(which="LM", krylov_dim=40, restarts=2,
+                                tol=1e-4 if on_tpu else 1e-10),
         linsolver=bk.GMRES(restart=40, maxiter=120, rtol=1e-5,
                            precond=prob.spectral_precond),
         compute_dtype=np.float32 if on_tpu else None)
