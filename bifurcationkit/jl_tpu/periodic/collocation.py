@@ -248,8 +248,13 @@ class Collocation:
             scale = (mesh[j + 1] - mesh[j]) / 2.0
             dens[j] = (np.linalg.norm(dd[0]) / max(scale, 1e-12) ** m
                        ) ** (1.0 / m) + 1e-8
-        # equidistribute the integral of the density
+        # equidistribute the integral of the density, with the standard
+        # weight floor (each interval keeps >= 30% of the average weight):
+        # pure equidistribution starves smooth regions — an interval there
+        # can grow until its own h^{m+1} error dominates the one the
+        # refinement removed in the layer
         w = dens * np.diff(mesh)
+        w = np.maximum(w, 0.3 * w.mean())
         cum = np.concatenate([[0.0], np.cumsum(w)])
         cum /= cum[-1]
         targets = np.linspace(0, 1, self.Ntst + 1)
