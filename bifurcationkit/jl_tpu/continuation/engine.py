@@ -317,27 +317,38 @@ class ContIterable:
     def _palc_predictor(self, state: ContState, ds: float) -> BorderedState:
         """Tangent predictor z + ds*tau, or polynomial extrapolation in
         arclength when enough points are buffered
-        (ref Polynomial, src/continuation/Tangents.jl:126-233)."""
+        (ref Polynomial, src/continuation/Tangents.jl:126-233).
+
+        The point buffer and the least-squares fit live ON DEVICE (one
+        jitted kernel): a PDE-sized state never crosses to the host."""
         tangent = getattr(self.alg, "tangent", None)
         if isinstance(tangent, Polynomial) and not state.in_bisection:
-            buf = self.__dict__.setdefault("_poly_buffer", [])
-            if len(buf) >= max(tangent.n + 2, 4):
-                import numpy as _np
+            buf_s = self.__dict__.get("_poly_s", [])
+            if len(buf_s) >= max(tangent.n + 2, 4):
                 from ..core.state import ravel as _ravel
 
-                ss = _np.asarray([b[0] for b in buf])
-                Z = _np.stack([b[1] for b in buf])       # (k, N+1)
+                kernel = self.__dict__.get("_poly_kernel")
+                if kernel is None:
+                    deg = tangent.n
+
+                    @jax.jit
+                    def kernel(Z, t, t_new):
+                        # masked Vandermonde least squares, (k, deg+1)
+                        A = t[:, None] ** jnp.arange(deg + 1)[None, :]
+                        G = A.T @ A + 1e-12 * jnp.eye(deg + 1, dtype=Z.dtype)
+                        coef = jnp.linalg.solve(G, A.T @ Z)  # (deg+1, N+1)
+                        return (t_new ** jnp.arange(deg + 1)) @ coef
+
+                    self.__dict__["_poly_kernel"] = kernel
+                ss = np.asarray(buf_s)
                 s0, sc = ss.mean(), max(ss.std(), 1e-12)
-                t = (ss - s0) / sc
-                A = _np.vander(t, tangent.n + 1, increasing=True)
-                coef, *_ = _np.linalg.lstsq(A, Z, rcond=None)
-                t_new = (ss[-1] + ds - s0) / sc
-                z_new_flat = _np.asarray(
-                    [t_new ** k for k in range(tangent.n + 1)]) @ coef
+                Z = self.__dict__["_poly_Z"]               # (k, N+1) device
+                z_new_flat = kernel(Z, jnp.asarray((ss - s0) / sc),
+                                    jnp.asarray((ss[-1] + ds - s0) / sc))
                 flat, unravel = _ravel(state.z.u)
                 return BorderedState(
-                    u=unravel(jnp.asarray(z_new_flat[:-1])),
-                    p=jnp.asarray(z_new_flat[-1]))
+                    u=unravel(z_new_flat[:-1]),
+                    p=z_new_flat[-1])
         return BorderedState(u=tree_axpy(ds, state.tau.u, state.z.u),
                              p=state.z.p + ds * state.tau.p)
 
@@ -347,13 +358,18 @@ class ContIterable:
             return
         from ..core.state import ravel as _ravel
 
-        buf = self.__dict__.setdefault("_poly_buffer", [])
-        s_prev = buf[-1][0] if buf else 0.0
+        buf_s = self.__dict__.setdefault("_poly_s", [])
+        s_prev = buf_s[-1] if buf_s else 0.0
         flat, _ = _ravel(state.z.u)
-        rec = np.concatenate([np.asarray(flat), [float(state.z.p)]])
-        buf.append((s_prev + abs(state.ds), rec))
-        if len(buf) > tangent.k:
-            buf.pop(0)
+        rec = jnp.concatenate([flat, state.z.p[None]])     # stays on device
+        rows = self.__dict__.get("_poly_rows", [])
+        rows.append(rec)
+        buf_s.append(s_prev + abs(state.ds))
+        if len(rows) > tangent.k:
+            rows.pop(0)
+            buf_s.pop(0)
+        self.__dict__["_poly_rows"] = rows
+        self.__dict__["_poly_Z"] = jnp.stack(rows)
 
     # ------------------------------------------------------------------
     # step-size control (ref _step_size_control!, Contbase.jl:77-160)
