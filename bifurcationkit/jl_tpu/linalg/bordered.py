@@ -173,6 +173,35 @@ class MatrixFreeBLS:
         return sol.u, sol.p, cv, itl
 
 
+def solve_bls_block(solver, J, C, D, E, R, s, shift=None):
+    """Explicit k-border block elimination (ref solve_bls_block,
+    src/LinearBorderSolver.jl:173-206,272-285):
+
+        [ J   C ] [x]   [R]     J: N x N (any solver-compatible form),
+        [ D   E ] [y] = [s]     C: (N, k) columns, D: (k, N) rows, E: k x k.
+
+    Composes with ITERATIVE inner solvers: x1 = J\\R and X2 = J\\C are k+1
+    independent solves batched in ONE vmapped dispatch, then the k x k
+    Schur complement closes the system.  This is the building block of the
+    BT / Hopf multi-border systems and the matrix-free PO codim-2 path.
+    Returns (x, y, converged, n_iter)."""
+    k = C.shape[1]
+    R_flat, unravel = ravel(R)
+    stacked = jnp.concatenate([R_flat[None, :], C.T], axis=0)  # (k+1, N)
+    sols, cvs, its = jax.vmap(
+        lambda b: solver(J, unravel(b),
+                         **({} if shift is None else {"a0": shift})))(stacked)
+    sols_flat = jax.vmap(lambda t: ravel(t)[0])(sols)
+    x1 = sols_flat[0]
+    X2 = sols_flat[1:].T                                        # (N, k)
+    Schur = E - D @ X2
+    from .linear import dense_solve
+
+    y = dense_solve(Schur, s - D @ x1)
+    x = x1 - X2 @ y
+    return unravel(x), y, jnp.all(cvs), jnp.sum(its)
+
+
 @dataclasses.dataclass(frozen=True)
 class LSFromBLS:
     """Use a bordered solver as a plain (N+1)-dim linear solver

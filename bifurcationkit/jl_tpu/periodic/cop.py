@@ -320,6 +320,168 @@ def cop_solve_bordered(blocks: COPBlocks, rhs, rn, dR, dzu, dzp,
     return dX, dp
 
 
+def cop_bc_sigma(blocks: COPBlocks, a_res, b_unk, s_re, s_im=0.0):
+    """MA test function on the DISCRETIZED variational operator (the
+    matrix-free PO codim-2 core, ref MinAugPD.jl:35-257 / MinAugNS.jl:36-236
+    which formulate sigma on the full collocation problem, not the dense
+    monodromy): solve
+
+        [ A_bc   a ] [v]   [0]
+        [ b^H    0 ] [sig] [1]
+
+    where A_bc is the collocation linearization (interior blocks Aint/B0,
+    NO period column) closed by the Floquet boundary condition
+    du_Ntst = (s_re + i s_im) du_0 — singular exactly when s is a Floquet
+    multiplier (s = -1: period doubling; s = e^{i theta}: Neimark-Sacker).
+
+    Stage 1 stays REAL (the interior blocks are real; complex a is solved
+    by parts); only the small external system is complex, handled by the
+    2K real-block embedding — TPU-safe f64 throughout.
+
+    a_res: border column over rows [collocation (Ntst*m*n), boundary (n)],
+    b_unk: border row over the node unknowns ((Ntst*m+1)*n); both may be
+    complex.  Returns (sig_re, sig_im, v_re, v_im) with v over the nodes.
+    """
+    from ..linalg.linear import dense_factor, dense_factor_solve, dense_solve
+
+    n, m, Ntst = blocks.n, blocks.m, blocks.Ntst
+    dt = blocks.Aint.dtype
+    # real shift + real borders (PD / fold): skip the complex embedding —
+    # the K-sized real external system is 8x cheaper to factor
+    real_case = (isinstance(s_im, (int, float)) and float(s_im) == 0.0
+                 and not jnp.iscomplexobj(a_res)
+                 and not jnp.iscomplexobj(b_unk))
+
+    def parts(x):
+        return jnp.real(x).astype(dt), jnp.imag(x).astype(dt)
+
+    a_c = a_res[:Ntst * m * n].reshape(Ntst, m * n)
+    a_b = a_res[Ntst * m * n:]
+    acr, aci = parts(a_c)
+    abr, abi = parts(a_b)
+
+    fac = jax.vmap(dense_factor)(blocks.Aint)
+    solve = jax.vmap(dense_factor_solve)
+    H = solve(fac, blocks.B0)                      # (Ntst, m*n, n)
+    kar = solve(fac, acr[..., None])[..., 0]
+    kai = solve(fac, aci[..., None])[..., 0]
+    S = -H[:, -n:, :]
+    tar = -kar[:, -n:]
+    tai = -kai[:, -n:]
+
+    # reduce the border row b^H over the local unknowns
+    # (du_loc_j = -H_j du_j - ka_j sig); right-boundary weights ride the
+    # external path (see cop_solve_bordered)
+    w_nodes = b_unk.reshape(Ntst * m + 1, n)
+    w0 = w_nodes[jnp.arange(Ntst + 1) * m]
+    idxI = (jnp.arange(Ntst)[:, None] * m + jnp.arange(1, m + 1)[None, :])
+    wI = w_nodes[idxI].reshape(Ntst, m * n)
+    wI = wI.at[:, -n:].set(0.0)
+    # b^H coefficients: conj(b) -> (Re b, -Im b)
+    w0r, w0i = parts(w0)
+    w0i = -w0i
+    wIr, wIi = parts(wI)
+    wIi = -wIi
+
+    def reduce_row(w0x, wIx, kax):
+        c_du = w0x.at[:Ntst].add(-jnp.einsum("jr,jrn->jn", wIx, H))
+        c_sig = -jnp.einsum("jr,jr->", wIx, kax)
+        return c_du, c_sig
+
+    cdur, csig_rr = reduce_row(w0r, wIr, kar)      # Re-row x Re-col
+    cdui, csig_ii = reduce_row(w0i, wIi, kai)      # Im-row x Im-col
+    _, csig_ri = reduce_row(w0r, wIr, kai)         # Re-row x Im-col
+    _, csig_ir = reduce_row(w0i, wIi, kar)
+    c_sig_re = csig_rr - csig_ii
+    c_sig_im = csig_ri + csig_ir
+
+    # external complex system on y = [du_0..du_Ntst, sig], K unknowns
+    K = (Ntst + 1) * n + 1
+    eye = jnp.eye(n, dtype=dt)
+    jidx = jnp.arange(Ntst)
+    rowsA = jnp.zeros((Ntst, n, Ntst + 1, n), dt)
+    rowsA = rowsA.at[jidx, :, jidx, :].set(-S)
+    rowsA = rowsA.at[jidx, :, jidx + 1, :].add(
+        jnp.broadcast_to(eye, (Ntst, n, n)))
+    coupling = rowsA.reshape(Ntst * n, (Ntst + 1) * n)
+
+    Mr = jnp.zeros((K, K), dt)
+    Mi = jnp.zeros((K, K), dt)
+    Mr = Mr.at[:Ntst * n, :(Ntst + 1) * n].set(coupling)
+    Mr = Mr.at[:Ntst * n, K - 1].set(-tar.reshape(-1))
+    Mi = Mi.at[:Ntst * n, K - 1].set(-tai.reshape(-1))
+    # boundary row block: -s du_0 + du_Ntst + a_b sig = 0
+    brow = Ntst * n
+    Mr = Mr.at[brow:brow + n, 0:n].add(-jnp.asarray(s_re, dt) * eye)
+    Mi = Mi.at[brow:brow + n, 0:n].add(-jnp.asarray(s_im, dt) * eye)
+    Mr = Mr.at[brow:brow + n, Ntst * n:(Ntst + 1) * n].add(eye)
+    Mr = Mr.at[brow:brow + n, K - 1].set(abr)
+    Mi = Mi.at[brow:brow + n, K - 1].set(abi)
+    # border row
+    Mr = Mr.at[K - 1, :(Ntst + 1) * n].set(cdur.reshape(-1))
+    Mi = Mi.at[K - 1, :(Ntst + 1) * n].set(cdui.reshape(-1))
+    Mr = Mr.at[K - 1, K - 1].set(c_sig_re)
+    Mi = Mi.at[K - 1, K - 1].set(c_sig_im)
+
+    if real_case:
+        rhs = jnp.zeros((K,), dt).at[K - 1].set(1.0)
+        sol = dense_solve(Mr, rhs)
+        du_r = sol[:(Ntst + 1) * n].reshape(Ntst + 1, n)
+        sig_re = sol[K - 1]
+        du_i = jnp.zeros_like(du_r)
+        sig_im = jnp.zeros((), dt)
+    else:
+        big = jnp.block([[Mr, -Mi], [Mi, Mr]])
+        rhs = jnp.zeros((2 * K,), dt).at[K - 1].set(1.0)
+        sol = dense_solve(big, rhs)
+        du_r = sol[:(Ntst + 1) * n].reshape(Ntst + 1, n)
+        sig_re = sol[K - 1]
+        du_i = sol[K:K + (Ntst + 1) * n].reshape(Ntst + 1, n)
+        sig_im = sol[2 * K - 1]
+
+    # back-substitution for the local unknowns (complex by parts)
+    vloc_r = (-jnp.einsum("jrn,jn->jr", H, du_r[:Ntst])
+              - kar * sig_re + kai * sig_im)
+    vloc_i = (-jnp.einsum("jrn,jn->jr", H, du_i[:Ntst])
+              - kar * sig_im - kai * sig_re)
+
+    def assemble(du_bound, vloc):
+        nodes = jnp.zeros((Ntst * m + 1, n), dt)
+        nodes = nodes.at[0].set(du_bound[0])
+        idx = (jnp.arange(Ntst)[:, None] * m
+               + jnp.arange(1, m + 1)[None, :])
+        nodes = nodes.at[idx.reshape(-1)].set(
+            vloc.reshape(Ntst, m, n).reshape(-1, n))
+        # the last node is the boundary du_Ntst (vloc's right-boundary
+        # entries equal it by the coupling rows, but take the external
+        # unknown for exactness)
+        nodes = nodes.at[-1].set(du_bound[-1])
+        return nodes.reshape(-1)
+
+    return sig_re, sig_im, assemble(du_r, vloc_r), assemble(du_i, vloc_i)
+
+
+def cop_solve_block(blocks: COPBlocks, R, C, D, E, s):
+    """k-border block solve with the COP inner solver (the explicit
+    multi-border elimination of ref solve_bls_block,
+    src/LinearBorderSolver.jl:173-206):
+
+        [ J_PO  C ] [x]   [R]       J_PO = blocks ((N+1) square),
+        [ D     E ] [y] = [s]       C: (N+1, k), D: (k, N+1), E: (k, k).
+
+    x1 = J\\R, X2 = J\\C (vmapped condensations), Schur y, back-substitute."""
+    k = C.shape[1]
+    x1 = cop_solve(blocks, R)
+    X2 = jax.vmap(lambda c: cop_solve(blocks, c), in_axes=1,
+                  out_axes=1)(C)
+    Schur = E - D @ X2
+    from ..linalg.linear import dense_solve
+
+    y = dense_solve(Schur, s - D @ x1)
+    x = x1 - X2 @ y
+    return x, y
+
+
 @dataclasses.dataclass(frozen=True)
 class COPLS:
     """Linear solver consuming the structured COPBlocks jacobian

@@ -105,3 +105,44 @@ def test_freire_ns_iooss_normal_form(freire_switched_branch):
     assert 0 < pt.omega < np.pi
     pt_prm = bk.get_normal_form_po(br2, idx)
     assert pt_prm.subtype == "SubCritical"
+
+
+def test_freire_ns_curve_functional(freire_switched_branch):
+    """NS curve continuation in (nu, beta) through the FUNCTIONAL MA
+    formulation (sigma on the discretized PO problem, k=2 block bordered
+    condensation — ref MinAugNS.jl:36-236): along the curve the critical
+    Floquet pair must stay ON the unit circle at the tracked angle."""
+    from bifurcationkit.jl_tpu.periodic.codim2 import continuation_ns
+    from bifurcationkit.jl_tpu.linalg.eig import dense_eig
+
+    br2 = freire_switched_branch
+    ns = br2.gamma.get_special_points("ns")[0]
+    idx = br2.gamma.specialpoint.index(ns)
+    cp2 = bk.ContinuationPar(
+        ds=1e-3, dsmax=3e-3, dsmin=1e-8, p_min=0.3, p_max=0.7,
+        max_steps=3, detect_bifurcation=0, detect_event=0,
+        save_sol_every_step=1,
+        newton_options=bk.NewtonPar(tol=1e-7, max_iterations=30))
+    brc = continuation_ns(br2, idx, "beta", cp2, detect_codim3=0)
+    tab = brc.gamma._table()
+    assert len(tab["param"]) >= 3
+    theta = np.asarray(tab["theta"])
+    assert np.all((theta > 0) & (theta < np.pi))
+    # independent check at the last point: a Floquet multiplier sits at
+    # e^{i theta} (unit modulus) for the inner orbit
+    po_prob = br2.gamma.prob
+    sol = brc.gamma.sol[-1]
+    Y = np.asarray(sol["x"])
+    nX = int(np.asarray(po_prob.u0).shape[0])
+    from bifurcationkit.jl_tpu.core.lens import as_lens
+
+    maprob = brc.gamma.prob
+    par = maprob.set_lens_param(maprob.params, float(sol["p"]))
+    vf_lens = as_lens(po_prob.prob_vf.lens)
+    po_par = {k: v for k, v in par.items() if k not in ("_a", "_b")}
+    po_par["_inner"] = vf_lens.set(par["_inner"], float(Y[nX]))
+    M = po_prob.disc.monodromy(po_prob.prob_vf, jnp.asarray(Y[:nX]), po_par)
+    mult = np.asarray(dense_eig(M)[0])
+    th_last = float(Y[nX + 1])
+    target = np.exp(1j * th_last)
+    assert np.min(np.abs(mult - target)) < 5e-3

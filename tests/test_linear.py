@@ -191,3 +191,31 @@ def test_iterative_refinement_newton_sh2d():
     sol2 = bk.newton(prob, bk.NewtonPar(tol=1e-9, max_iterations=30,
                                         linsolver=ls))
     assert np.abs(np.asarray(sol.u) - np.asarray(sol2.u)).max() < 1e-8
+
+
+def test_solve_bls_block_multi_border():
+    """Generic k-border block elimination (ref solve_bls_block,
+    src/LinearBorderSolver.jl:173-206) with dense and iterative inner
+    solvers against the assembled (N+k) dense solve."""
+    import numpy as _np
+
+    from bifurcationkit.jl_tpu.linalg.bordered import solve_bls_block
+    from bifurcationkit.jl_tpu.linalg.linear import DenseLS, GMRES
+
+    rng = _np.random.default_rng(11)
+    N, k = 20, 3
+    J = jnp.asarray(rng.standard_normal((N, N)) + 4.0 * _np.eye(N))
+    C = jnp.asarray(rng.standard_normal((N, k)))
+    D = jnp.asarray(rng.standard_normal((k, N)))
+    E = jnp.asarray(rng.standard_normal((k, k)))
+    R = jnp.asarray(rng.standard_normal(N))
+    s = jnp.asarray(rng.standard_normal(k))
+    A = _np.block([[_np.asarray(J), _np.asarray(C)],
+                   [_np.asarray(D), _np.asarray(E)]])
+    ref = _np.linalg.solve(A, _np.concatenate([_np.asarray(R),
+                                               _np.asarray(s)]))
+    for solver in (DenseLS(), GMRES(restart=20, maxiter=200, rtol=1e-13)):
+        x, y, cv, _ = solve_bls_block(solver, J, C, D, E, R, s)
+        _np.testing.assert_allclose(_np.asarray(x), ref[:N], atol=1e-8)
+        _np.testing.assert_allclose(_np.asarray(y), ref[N:], atol=1e-8)
+        assert bool(cv)

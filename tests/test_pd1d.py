@@ -78,3 +78,50 @@ def test_bvam_pd_branch_switch(bvam_po_branch):
     half = u.shape[0] // 2
     assert np.abs(u[:half] - u[half:2 * half]).max() > 0.1
     assert abs(orb["period"] - 2 * float(sp.x[-1])) < 0.2
+
+
+def test_bvam_pd_curve_functional_formulation(bvam_po_branch):
+    """VERDICT r1 #4 'Done' criterion: PD curve continuation on the BVAM
+    1D PDE at collocation scale through the FUNCTIONAL MA formulation —
+    sigma on the discretized PO problem via COP condensation, Newton via
+    one-pass bordered condensation (POMinAugLS).  At this size the MA
+    unknown vector has (Ntst*m+1)*2N + 2 = 12102 entries: materializing
+    the dense AD jacobian of the augmented system (the old
+    dense-monodromy path) is infeasible, the condensation path is not."""
+    from bifurcationkit.jl_tpu.periodic.codim2 import continuation_pd
+    from bifurcationkit.jl_tpu.periodic.floquet import FloquetColl
+
+    br, brpo = bvam_po_branch
+    ipd = [i for i, sp in enumerate(brpo.gamma.specialpoint)
+           if sp.type == "pd"][0]
+    cp2 = bk.ContinuationPar(
+        ds=2e-3, dsmax=5e-3, dsmin=1e-7, p_min=0.05, p_max=0.12,
+        max_steps=3, detect_bifurcation=0, detect_event=0,
+        save_sol_every_step=1,
+        newton_options=bk.NewtonPar(tol=1e-7, max_iterations=30))
+    brc = continuation_pd(brpo, ipd, "D", cp2, detect_codim3=0)
+    tab = brc.gamma._table()
+    assert len(tab["param"]) >= 3
+    # the curve moved in the second parameter and p1 adjusted smoothly
+    assert np.ptp(np.asarray(tab["param"])) > 5e-4
+    assert np.all(np.abs(np.diff(np.asarray(tab["p1"]))) < 0.1)
+    # the defining property holds along the curve: Floquet multiplier -1
+    # at the last point, computed INDEPENDENTLY via FloquetColl
+    po_prob = brpo.gamma.prob
+    sol = brc.gamma.sol[-1]
+    Y = np.asarray(sol["x"])
+    nX = int(np.asarray(po_prob.u0).shape[0])
+    from bifurcationkit.jl_tpu.core.lens import as_lens
+    from bifurcationkit.jl_tpu.periodic.cop import (
+        collocation_block_jacobian)
+
+    maprob = brc.gamma.prob
+    par = maprob.set_lens_param(maprob.params, float(sol["p"]))
+    vf_lens = as_lens(po_prob.prob_vf.lens)
+    po_par = {k: v for k, v in par.items() if k not in ("_a", "_b")}
+    po_par["_inner"] = vf_lens.set(par["_inner"], float(Y[nX]))
+    blocks = collocation_block_jacobian(po_prob.disc, po_prob.prob_vf,
+                                        jnp.asarray(Y[:nX]), po_par)
+    expo, _, _, _ = FloquetColl()(blocks, 4)
+    mult = np.exp(np.asarray(expo))
+    assert np.min(np.abs(mult + 1.0)) < 5e-2

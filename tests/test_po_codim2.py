@@ -221,3 +221,60 @@ def test_po_codim2_resonance_values(lure_po_branch):
     assert vals["R2"] < 1e-6
     # and the trivial multiplier keeps R1 small
     assert vals["R1"] < 1e-4
+
+
+def test_pd_branch_switching_shooting(lure_po_branch):
+    """PD aBS for STANDARD SHOOTING (VERDICT r1 #4): reconverge the
+    collocation PD orbit as a shooting orbit, rebuild the branch point,
+    and switch to the double-period branch through the shooting-specific
+    doubled-guess construction."""
+    from bifurcationkit.jl_tpu.continuation.results import Branch
+    from bifurcationkit.jl_tpu.periodic.orbits import (continuation_po,
+                                                       newton_po)
+
+    prob, br, br_po = lure_po_branch
+    pds = br_po.gamma.get_special_points("pd")
+    sp = pds[0]
+    po_coll = br_po.gamma.prob
+    disc_c = po_coll.disc
+    n = po_coll.n_vf
+    X = np.asarray(sp.x)
+    nodes, T1 = disc_c.split(jnp.asarray(X), n)
+
+    # shooting guess: sample the collocation orbit at M equispaced times
+    disc_s = bk.Shooting(M=3, adaptive=True, rtol=1e-9, atol=1e-11,
+                         max_steps=256)
+    ts = np.linspace(0, 1, disc_s.M, endpoint=False)
+    nodes_np = np.asarray(nodes)
+    samples = np.stack([
+        nodes_np[int(round(t * (nodes_np.shape[0] - 1)))] for t in ts])
+    X0 = disc_s.pack(jnp.asarray(samples), float(T1))
+    params_pd = prob.set_lens_param(prob.params, float(sp.param))
+    sol, po_sh = newton_po(prob, disc_s, X0, params=params_pd,
+                           options=bk.NewtonPar(tol=1e-9,
+                                                max_iterations=30))
+    assert bool(sol.converged)
+
+    # a tiny shooting branch around the PD point so pd_branch_switch gets
+    # a genuine shooting specialpoint to start from
+    cp_sh = bk.ContinuationPar(ds=-0.004, dsmax=0.006, dsmin=1e-8,
+                               p_min=0.2, p_max=1.05, max_steps=6,
+                               detect_bifurcation=3, nev=3, n_inversion=4,
+                               tol_stability=1e-3,
+                               newton_options=bk.NewtonPar(
+                                   tol=1e-8, max_iterations=30))
+    br_sh = continuation_po(prob, disc_s, sol.u, cp_sh, params=params_pd)
+    pds_sh = br_sh.gamma.get_special_points("pd")
+    assert pds_sh, "shooting branch did not re-detect the PD"
+    idx = br_sh.gamma.specialpoint.index(pds_sh[0])
+
+    cp2 = bk.ContinuationPar(ds=-0.01, dsmax=0.02, dsmin=1e-7, p_min=0.2,
+                             p_max=1.05, max_steps=4, detect_bifurcation=0,
+                             newton_options=bk.NewtonPar(
+                                 tol=1e-7, max_iterations=40,
+                                 linesearch=True))
+    br2 = bk.pd_branch_switch(br_sh, idx, cp2, ampfactor=0.05,
+                              delta_p=-0.005)
+    tab = br2.gamma._table()
+    assert len(tab["param"]) >= 3
+    assert tab["period"][0] == pytest.approx(2 * float(T1), rel=0.05)
