@@ -14,7 +14,7 @@ machinery (ref `gev`, :19-70), including matrix-free operators."""
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ jacobians — the same architecture as the equilibrium codim-2 layer.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -29,12 +29,10 @@ from ..continuation.driver import continuation
 from ..continuation.results import Branch
 from ..detection.events import ContinuousEvent
 from ..core.lens import Lens, as_lens
-from ..core.params import ContinuationPar, NewtonPar
+from ..core.params import ContinuationPar
 from ..core.problem import BifurcationProblem
 from ..linalg.eig import dense_eig
-from ..newton import newton
 from .collocation import Collocation
-from .orbits import periodic_orbit_problem
 
 
 _SHIFTS = {"pd": lambda th: 1.0, "fold": lambda th: -1.0}
