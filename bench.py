@@ -59,19 +59,31 @@ def flagship_steps_per_s(warmup=2, timed=6):
     sol = bk.newton(prob, bk.NewtonPar(tol=1e-8, max_iterations=25,
                                        linsolver=ls))
     assert bool(sol.converged)
-    # stability sweep: shift-invert Arnoldi, the reference's
-    # EigArpack(0.1, :LM); f32 + relaxed Ritz tol on TPU (detection is
-    # count-based), f64 on CPU
-    eig = bk.ShiftInvertEig(
-        sigma=0.1,
-        eigsolver=bk.ArnoldiEig(which="LM", krylov_dim=40, restarts=2,
-                                tol=1e-4 if on_tpu else 1e-10),
-        linsolver=bk.GMRES(restart=40, maxiter=120, rtol=1e-5,
-                           precond=prob.spectral_precond),
-        compute_dtype=np.float32 if on_tpu else None)
+    # stability sweep.  TPU: the SH jacobian is symmetric (gradient flow),
+    # so preconditioned blocked LOBPCG replaces shift-invert Arnoldi — no
+    # inner solves, just blocked J@X + small Rayleigh-Ritz, warm-started
+    # across steps (detection is count-based, f32 + 1e-4 Ritz tol is ample).
+    # CPU: the reference's EigArpack(0.1, :LM) analog in f64.
+    if on_tpu:
+        eig = bk.LOBPCGEig(
+            maxiter=30, tol=3e-3, extra=8,
+            precond=lambda v: prob.spectral_precond(v, shift=1.0),
+            compute_dtype=np.float32)   # + f64 Ritz refine (refine_iters=2)
+    else:
+        eig = bk.ShiftInvertEig(
+            sigma=0.1,
+            eigsolver=bk.ArnoldiEig(which="LM", krylov_dim=40, restarts=2,
+                                    tol=1e-10),
+            linsolver=bk.GMRES(restart=40, maxiter=120, rtol=1e-5,
+                               precond=prob.spectral_precond))
     cp = bk.ContinuationPar(ds=-0.005, dsmax=0.02, dsmin=1e-6, p_min=-0.8,
                             p_max=0.2, max_steps=warmup + timed + 2,
                             nev=12, detect_bifurcation=3, detect_fold=True,
+                            # detection is count-based; keeping the
+                            # eigenvector block out of the per-step
+                            # device->host fetch (the reference's own
+                            # memory-pressure flag, src/ContParameters.jl:17)
+                            save_eigenvectors=False,
                             newton_options=bk.NewtonPar(
                                 tol=1e-7, max_iterations=15, linsolver=ls,
                                 eigsolver=eig))

@@ -20,7 +20,7 @@ from .core import (BifurcationProblem, BorderedState, ContinuationPar,
                    DotTheta, Lens, NewtonPar, ODEBifProblem, PDEBifProblem,
                    as_lens, lens_get, lens_set, setfield)
 from .linalg import (ArnoldiEig, BiCGStab, DenseEig, DenseLS, FlatOperator,
-                     GMRES, IterativeRefinement, ShiftInvertEig)
+                     GMRES, IterativeRefinement, LOBPCGEig, ShiftInvertEig)
 from .linalg.bordered import (BorderingBLS, LSFromBLS, MatrixBLS,
                               MatrixFreeBLS)
 from .newton import (NonLinearSolution, cb_max_norm,

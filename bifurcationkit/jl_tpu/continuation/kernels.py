@@ -352,16 +352,24 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
     # usually converges in ONE factorization and the cond-gated restart is
     # skipped).  The seed is a flat device array threaded through the step.
     eig_accepts_v0 = isinstance(eigsolver, (ArnoldiEig,
-                                            _linalg.ShiftInvertEig))
+                                            _linalg.ShiftInvertEig,
+                                            _linalg.LOBPCGEig))
     seed_dtype = eig_dtype or (jnp.float64 if jax.config.jax_enable_x64
                                else jnp.float32)
+    # blocked solvers (LOBPCG) warm-start from the full eigenvector block;
+    # Arnoldi-family solvers from a single recombined Ritz direction
+    _seed_cols_fn = getattr(eigsolver, "seed_cols", None)
+    n_seed_cols = _seed_cols_fn(nev) if callable(_seed_cols_fn) else None
 
     def eig_seed0():
+        if n_seed_cols:
+            return jnp.zeros((n_state, n_seed_cols), seed_dtype)
         return jnp.zeros((n_state,), seed_dtype)   # zero -> random start
 
     @jax.jit
     def _eig_device(u, p, params, eig_seed):
         par = set_p(params, p)
+        J_hi = None
         if eig_jac is not None:
             J = eig_jac(u, par)
         elif eig_needs_matrix:
@@ -372,15 +380,28 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
                 par_e = _cast_floats(par, eig_dtype)
                 J = FlatOperator(_flat_op(prob, u_e, par_e, out_dtype=eig_dtype),
                                  n_state, eig_dtype)
+                # mixed-precision LOBPCG refines its reduced-precision
+                # subspace on the full-precision operator (eig.py::_refine)
+                if getattr(eigsolver, "refine_iters", 0) > 0:
+                    J_hi = FlatOperator(_flat_op(prob, u, par), n_state)
             else:
                 J = FlatOperator(_flat_op(prob, u, par), n_state)
-        if eig_accepts_v0:
+        if J_hi is not None:
+            vals, vecs, cv, _ = eigsolver(J, nev, v0=eig_seed, J_hi=J_hi)
+        elif eig_accepts_v0:
             vals, vecs, cv, _ = eigsolver(J, nev, v0=eig_seed)
         else:
             vals, vecs, cv, _ = eigsolver(J, nev)
         seed_new = eig_seed
         if eig_accepts_v0 and vecs is not None:
-            seed_new = jnp.real(jnp.sum(vecs, axis=1)).astype(seed_dtype)
+            if n_seed_cols:
+                blk = jnp.real(vecs[:, :n_seed_cols]).astype(seed_dtype)
+                pad = n_seed_cols - blk.shape[1]
+                if pad > 0:
+                    blk = jnp.pad(blk, ((0, 0), (0, pad)))
+                seed_new = blk
+            else:
+                seed_new = jnp.real(jnp.sum(vecs, axis=1)).astype(seed_dtype)
         if not contparams.save_eigenvectors:
             vecs = None
         return vals, vecs, cv, seed_new
@@ -404,8 +425,8 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
     def eig_kernel(u, p, params, eig_seed=None):
         """Host-facing eig: returns NUMPY complex (vals, vecs) + cv + the
         device-side warm-start seed for the next call."""
-        if eig_seed is None:
-            eig_seed = eig_seed0()
+        if eig_seed is None or tuple(eig_seed.shape) != eig_seed0().shape:
+            eig_seed = eig_seed0()   # shape change = nev was auto-raised
         vals_p, vecs_p, cv, seed = _eig_kernel_split(u, p, params, eig_seed)
         return _join_cplx(vals_p), _join_cplx(vecs_p), cv, seed
 
@@ -438,8 +459,8 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
 
     def palc_full_step(z, tau, ds, params, eig_seed=None):
         """Host-facing fused step: complex eig outputs as numpy."""
-        if eig_seed is None:
-            eig_seed = eig_seed0()
+        if eig_seed is None or tuple(eig_seed.shape) != eig_seed0().shape:
+            eig_seed = eig_seed0()   # shape change = nev was auto-raised
         (z_acc, tau_acc, cv, itn, itl, res, vals_p, vecs_p,
          cv_eig, seed) = _palc_full_step_split(z, tau, ds, params, eig_seed)
         return (z_acc, tau_acc, cv, itn, itl, res, _join_cplx(vals_p),

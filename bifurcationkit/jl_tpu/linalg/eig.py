@@ -496,6 +496,226 @@ class ArnoldiEig:
 
 
 @dataclasses.dataclass(frozen=True)
+class LOBPCGEig:
+    """Preconditioned blocked LOBPCG for SYMMETRIC jacobians.
+
+    Returns the `nev` algebraically-largest (= rightmost, the spectrum is
+    real) eigenpairs.  For gradient-flow PDE jacobians — e.g.
+    Swift-Hohenberg's J = -(I+Delta)^2 + diag(l + 2 nu u - 3 u^2) — the
+    per-step stability sweep does not need shift-invert inner solves at
+    all: with the model's exact spectral preconditioner this converges in
+    a handful of *blocked* J@X applications and small dense Rayleigh-Ritz
+    problems, all matmul-shaped work for the MXU.  It replaces the
+    reference's `EigArpack(0.1, :LM)` shift-invert sweep on the SH2d
+    flagship (ref examples/SH2d-fronts.jl:91) where each Arnoldi step
+    costs a full preconditioned GMRES solve.
+
+    The A-applications are cached through the Rayleigh-Ritz rotations, so
+    each iteration applies A only to the `block` new preconditioned
+    residual directions (one vmapped dispatch).
+
+    `precond` is a callable v -> T v on flat vectors, T ~ (alpha I - J)^-1
+    in the loose preconditioning sense (a fixed spectral/DCT inverse of the
+    linear part works; sign and shift need not be exact).
+    """
+
+    maxiter: int = 30
+    tol: float = 1e-4
+    precond: Optional[Callable] = None
+    extra: int = 2          # guard vectors beyond nev (convergence buffer)
+    compute_dtype: Any = None
+    seed: int = 7
+    # Mixed-precision refinement: a reduced-precision (f32) sweep stalls at
+    # an eigenvalue error ~ 3k * eps_f32 * ||A|| (the Rayleigh-Ritz matrix
+    # G = Q^T A Q carries absolute matvec noise eps*||A||) — for a
+    # biharmonic operator with ||A|| ~ 5e3 that is a few 1e-2, useless for
+    # detection.  `refine_iters` extra Rayleigh-Ritz + preconditioned-step
+    # iterations on the high-precision operator `J_hi` (passed by the
+    # caller, or the uncast matrix for dense inputs) restore the full-
+    # precision eigenvalues at the cost of ~3k high-precision matvecs:
+    # the f32 subspace is accurate (angle ~ noise/gap), and the hi Ritz
+    # values inherit only the *squared* angle error.
+    refine_iters: int = 2
+
+    def seed_cols(self, nev: int) -> int:
+        # warm-start block = the converged eigenvector block
+        return nev
+
+    def __call__(self, J, nev: int, v0=None, J_hi=None):
+        if self.compute_dtype is not None and not is_operator(J):
+            if J_hi is None and self.refine_iters > 0:
+                J_hi = J
+            J = J.astype(self.compute_dtype)
+        matvec, n, dtype = _as_flat_matvec(J)
+        cdtype = _complex_dtype()
+        k = min(nev + self.extra, n)
+        tol_eff = max(self.tol, 50.0 * float(jnp.finfo(dtype).eps))
+
+        def blockA(X):
+            return jax.vmap(matvec, in_axes=1, out_axes=1)(X)
+
+        if self.precond is None:
+            def blockT(R):
+                return R
+        else:
+            def blockT(R):
+                out = jax.vmap(self.precond, in_axes=1, out_axes=1)(R)
+                return out.astype(R.dtype)
+
+        key = jax.random.PRNGKey(self.seed)
+        X0 = jax.random.normal(key, (n, k), dtype)
+        if v0 is not None:
+            v0 = jnp.asarray(v0, dtype)
+            if v0.ndim == 1:
+                v0 = v0.reshape(n, -1)
+            cols = min(v0.shape[1], k)
+            has_warm = jnp.linalg.norm(v0) > 0
+            X0 = jnp.where(has_warm, X0.at[:, :cols].set(v0[:, :cols]), X0)
+
+        eps_c = float(jnp.finfo(dtype).eps) ** 0.5
+
+        def _colnorm(M):
+            return jnp.maximum(jnp.linalg.norm(M, axis=0), 1e-30)
+
+        def _cholqr(S):
+            # CholQR with diagonal jitter: all matmul/cholesky work (MXU)
+            # vs the latency-bound Householder QR; two passes below give
+            # QR-grade orthogonality for the moderately conditioned bases
+            # this loop produces (X orthonormal, W/P normalized and
+            # pre-orthogonalized / randomly refilled)
+            m = S.shape[1]
+            G = S.T @ S
+            jit_eps = 10.0 * float(jnp.finfo(S.dtype).eps)
+            G = G + (jit_eps * jnp.trace(G) / m) * jnp.eye(m, dtype=S.dtype)
+            L = jnp.linalg.cholesky(G)
+            return jax.scipy.linalg.solve_triangular(L, S.T, lower=True).T
+
+        def _ritz(S, exact_qr=False):
+            """Orthonormalize S and Rayleigh-Ritz the top-k pairs.
+
+            A is re-applied to the orthonormalized basis (one vmapped
+            blocked dispatch) rather than rotated from cached products:
+            rank-deficient S (converged pairs, duplicated directions) then
+            merely yields harmless extra search directions instead of
+            amplified noise from an ill-conditioned triangular solve."""
+            if exact_qr:
+                Q, _ = jnp.linalg.qr(S)
+            else:
+                Q = _cholqr(_cholqr(S))
+            AQ = blockA(Q)
+            G = Q.T @ AQ
+            G = 0.5 * (G + G.T)
+            w, Y = jnp.linalg.eigh(G)          # ascending
+            Yk = Y[:, ::-1][:, :k]
+            return w[::-1][:k], Q @ Yk, AQ @ Yk
+
+        X0 = X0 / _colnorm(X0)
+        theta0, X0, AX0 = _ritz(X0)
+        # seed P with random orthonormalized directions so the first
+        # iteration's basis is full rank without a special case in the body
+        P0 = jax.random.normal(jax.random.fold_in(key, 1), (n, k), dtype)
+        P0 = P0 / _colnorm(P0)
+
+        def _conv(theta, X, AX):
+            R = AX - X * theta[None, :]
+            rn = _colnorm(R)
+            scale = jnp.maximum(jnp.abs(theta), 1.0)
+            return R, jnp.all(rn[:nev] < tol_eff * scale[:nev])
+
+        def cond(carry):
+            _, _, _, _, it, done = carry
+            return (it < self.maxiter) & ~done
+
+        def body(carry):
+            X, AX, P, theta, it, _ = carry
+            R = AX - X * theta[None, :]
+            W = blockT(R)
+            # pre-orthogonalize W against X (cheap, keeps the QR well
+            # conditioned near convergence)
+            W = W - X @ (X.T @ W)
+            W = W / _colnorm(W)
+            S = jnp.concatenate([X, W, P], axis=1)
+            theta_n, Xn, AXn = _ritz(S)
+            # conjugate-direction block: the component of the new iterate
+            # outside the old X span; a converged pair leaves a ~zero
+            # column — refill it with a fresh random direction (extra
+            # search directions are harmless; zero columns would let the
+            # CholQR jitter admit spurious theta=0 Ritz values)
+            Pn = Xn - X @ (X.T @ Xn)
+            ps = _colnorm(Pn)
+            refill = jax.random.normal(jax.random.fold_in(key, 100 + it),
+                                       (n, k), dtype)
+            refill = refill / _colnorm(refill)
+            ok = (ps > eps_c)[None, :]
+            Pn = jnp.where(ok, Pn / ps, refill)
+            _, done = _conv(theta_n, Xn, AXn)
+            return Xn, AXn, Pn, theta_n, it + 1, done
+
+        _, done0 = _conv(theta0, X0, AX0)
+        X, AX, P, theta, niter, _ = jax.lax.while_loop(
+            cond, body, (X0, AX0, P0, theta0, jnp.array(0), done0))
+
+        if J_hi is not None and self.refine_iters > 0:
+            theta, X, AX = self._refine(J_hi, X, k)
+
+        _, converged = _conv(theta, X, AX)
+        vals = theta[:nev].astype(cdtype)
+        vecs = X[:, :nev].astype(cdtype)
+        return vals, vecs, converged, niter
+
+    def _refine(self, J_hi, X_lo, k):
+        """High-precision Rayleigh-Ritz + preconditioned-step iterations on
+        the reduced-precision subspace (see `refine_iters`).  Unrolled
+        (refine_iters is small and static)."""
+        matvec, _, dtype = _as_flat_matvec(J_hi)
+
+        def blockA(Y):
+            return jax.vmap(matvec, in_axes=1, out_axes=1)(Y)
+
+        if self.precond is None:
+            def blockT(R):
+                return R.astype(dtype)
+        else:
+            def blockT(R):
+                out = jax.vmap(self.precond, in_axes=1, out_axes=1)(R)
+                return out.astype(dtype)
+
+        def _cholqr2(S):
+            # the refine bases ([orthonormal X | pre-orthogonalized W]) are
+            # well conditioned, so two-pass CholQR is QR-grade and keeps
+            # the high-precision pass on emulated-f64 matmuls (MXU) instead
+            # of a latency-bound Householder QR
+            m = S.shape[1]
+            jit_eps = 10.0 * float(jnp.finfo(dtype).eps)
+            for _ in range(2):
+                G = S.T @ S
+                G = (G + (jit_eps * jnp.trace(G) / m)
+                     * jnp.eye(m, dtype=S.dtype))
+                L = jnp.linalg.cholesky(G)
+                S = jax.scipy.linalg.solve_triangular(L, S.T, lower=True).T
+            return S
+
+        X = X_lo.astype(dtype)
+        W = None
+        for i in range(self.refine_iters):
+            S = X if W is None else jnp.concatenate([X, W], axis=1)
+            Q = _cholqr2(S)
+            AQ = blockA(Q)
+            G = Q.T @ AQ
+            G = 0.5 * (G + G.T)
+            w, Y = jnp.linalg.eigh(G)
+            Yk = Y[:, ::-1][:, :k]
+            theta, X, AX = w[::-1][:k], Q @ Yk, AQ @ Yk
+            if i + 1 == self.refine_iters:
+                break      # last pass: W would be unused
+            R = AX - X * theta[None, :]
+            W = blockT(R)
+            W = W - X @ (X.T @ W)
+            W = W / jnp.maximum(jnp.linalg.norm(W, axis=0), 1e-30)
+        return theta, X, AX
+
+
+@dataclasses.dataclass(frozen=True)
 class ShiftInvertEig:
     """Shift-invert wrapper: eigensolve (J - sigma I)^{-1} and map back
     (ref `ShiftInvert`, src/EigSolver.jl:246-266).  Targets the eigenvalues

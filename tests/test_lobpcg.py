@@ -1,0 +1,117 @@
+"""Preconditioned blocked LOBPCG (linalg/eig.py::LOBPCGEig).
+
+The TPU-native replacement for shift-invert Arnoldi on SYMMETRIC
+jacobians (gradient flows like Swift-Hohenberg): rightmost eigenpairs
+from blocked J@X applications + small Rayleigh-Ritz problems — no inner
+linear solves (ref counterpart: EigArpack(0.1, :LM) stability sweeps,
+examples/SH2d-fronts.jl:91)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import bifurcationkit.jl_tpu as bk
+from bifurcationkit.jl_tpu import models
+from bifurcationkit.jl_tpu.linalg.eig import FlatOperator, LOBPCGEig
+
+
+def _sh_flat_op(prob):
+    from jax.flatten_util import ravel_pytree
+
+    u, par = prob.u0, prob.params
+    flat0, unravel = ravel_pytree(u)
+
+    def op(v):
+        return ravel_pytree(prob.dF(u, par, unravel(v)))[0]
+
+    return FlatOperator(op, flat0.shape[0], flat0.dtype)
+
+
+def test_dense_symmetric_parity():
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(200, 200))
+    A = (A + A.T) / 2
+    w_ref = np.sort(np.linalg.eigvalsh(A))[::-1]
+    vals, vecs, cv, _ = LOBPCGEig(maxiter=300, tol=1e-8, extra=3)(
+        jnp.asarray(A), 6)
+    assert np.abs(np.real(vals) - w_ref[:6]).max() < 1e-6
+    # eigenvalues are real (symmetric input) and vectors satisfy A v = t v
+    assert np.abs(np.imag(vals)).max() == 0.0
+    v = np.real(np.asarray(vecs))
+    res = A @ v - v * np.real(np.asarray(vals))[None, :]
+    assert np.linalg.norm(res, axis=0).max() < 1e-5 * np.abs(w_ref[0])
+
+
+def test_sh2d_preconditioned_matrix_free():
+    prob = models.swift_hohenberg_2d(Nx=40, Ny=30)
+    J = _sh_flat_op(prob)
+    n = J.n
+    Jd = jax.vmap(J, in_axes=1, out_axes=1)(jnp.eye(n))
+    w_ref = np.sort(np.linalg.eigvalsh(np.asarray(Jd)))[::-1]
+    eig = LOBPCGEig(maxiter=60, tol=1e-6, extra=4,
+                    precond=lambda v: prob.spectral_precond(v, shift=1.0))
+    vals, vecs, cv, it = eig(J, 10)
+    assert np.abs(np.real(vals) - w_ref[:10]).max() < 1e-3
+    # warm restart from the converged block: should exit almost instantly
+    vals2, _, cv2, it2 = eig(J, 10, v0=jnp.real(vecs))
+    assert int(it2) <= 3
+    assert np.abs(np.real(vals2) - w_ref[:10]).max() < 1e-3
+
+
+def test_continuation_with_lobpcg_detection():
+    """Detection counts along a symmetric branch must match the
+    shift-invert sweep (count-based detection parity)."""
+    prob = models.swift_hohenberg_2d(Nx=100, Ny=66)
+    ls = bk.GMRES(restart=40, maxiter=300, rtol=1e-10,
+                  precond=prob.spectral_precond)
+    sol = bk.newton(prob, bk.NewtonPar(tol=1e-8, max_iterations=25,
+                                       linsolver=ls))
+    assert bool(sol.converged)
+
+    def run(eig):
+        cp = bk.ContinuationPar(
+            ds=-0.01, dsmax=0.02, dsmin=1e-6, p_min=-0.4, p_max=0.2,
+            max_steps=6, nev=8, detect_bifurcation=2,
+            newton_options=bk.NewtonPar(tol=1e-7, max_iterations=12,
+                                        linsolver=ls, eigsolver=eig))
+        br = bk.continuation(prob.re_make(u0=sol.u), bk.PALC(), cp)
+        return [int(v) for v in br["n_unstable"]]
+
+    lob = LOBPCGEig(maxiter=40, tol=1e-5, extra=3,
+                    precond=lambda v: prob.spectral_precond(v, shift=1.0))
+    si = bk.ShiftInvertEig(
+        sigma=0.1,
+        eigsolver=bk.ArnoldiEig(which="LM", krylov_dim=30, tol=1e-8),
+        linsolver=bk.GMRES(restart=40, maxiter=150, rtol=1e-8,
+                           precond=prob.spectral_precond))
+    assert run(lob) == run(si)
+
+
+def test_mixed_precision_refine():
+    """f32 sweep + f64 Rayleigh-Ritz refinement: the f32-only sweep stalls
+    at ~3k*eps_f32*||A|| eigenvalue error on the stiff biharmonic operator;
+    the refined values must match the f64 reference to ~1e-3."""
+    from jax.flatten_util import ravel_pytree
+
+    prob = models.swift_hohenberg_2d(Nx=60, Ny=40)
+    u, par = prob.u0, prob.params
+    flat0, unravel = ravel_pytree(u)
+    f32 = jnp.float32
+    uf, parf = jax.tree_util.tree_map(lambda x: jnp.asarray(x, f32),
+                                      (u, par))
+
+    def op32(v):
+        return ravel_pytree(
+            prob.dF(uf, parf, unravel(v.astype(f32))))[0].astype(f32)
+
+    def op64(v):
+        return ravel_pytree(prob.dF(u, par, unravel(v)))[0]
+
+    J32 = FlatOperator(op32, flat0.shape[0], f32)
+    J64 = FlatOperator(op64, flat0.shape[0], flat0.dtype)
+    Jd = jax.vmap(op64, in_axes=1, out_axes=1)(jnp.eye(flat0.shape[0]))
+    w_ref = np.sort(np.linalg.eigvalsh(np.asarray(Jd)))[::-1]
+
+    pre = lambda v: prob.spectral_precond(v, shift=1.0)
+    eig = LOBPCGEig(maxiter=60, tol=1e-4, extra=6, precond=pre)
+    vals, _, _, _ = eig(J32, 8, J_hi=J64)
+    assert np.abs(np.real(vals) - w_ref[:8]).max() < 1e-3
