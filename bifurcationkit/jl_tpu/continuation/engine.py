@@ -52,6 +52,7 @@ class ContState:
 
     _p_cache: Any = None
     _p_old_cache: Any = None
+    _tau_p_cache: Any = None
 
     def copy(self) -> "ContState":
         return dataclasses.replace(self)
@@ -73,6 +74,14 @@ class ContState:
             object.__setattr__(self, "_p_old_cache",
                                (zid, float(self.z_old.p)))
         return self._p_old_cache[1]
+
+    @property
+    def tau_p(self) -> float:
+        tid = id(self.tau)
+        if self._tau_p_cache is None or self._tau_p_cache[0] != tid:
+            object.__setattr__(self, "_tau_p_cache",
+                               (tid, float(self.tau.p)))
+        return self._tau_p_cache[1]
 
 
 class ContIterable:
@@ -192,7 +201,7 @@ class ContIterable:
     def iterate(self, state: ContState):
         cp = self.contparams
         ds = state.ds
-        tau_p = float(state.tau.p)
+        tau_p = state.tau_p
         p_pred = state.p + ds * tau_p
 
         use_natural = isinstance(self.alg, Natural)
@@ -249,14 +258,19 @@ class ContIterable:
                 cv = jnp.asarray(False)
         elif self._can_fuse(state):
             # single-dispatch fused step (predictor+corrector+tangent+eig)
-            (z_new, tau_new, cv, itn, itl, res, vals, vecs,
-             cv_eig, eig_seed) = self.kernels.palc_full_step(
+            (z_new, tau_new, cv, itn, itl, res, vals_p, vecs_p,
+             cv_eig, eig_seed) = self.kernels.palc_full_step_raw(
                 state.z, state.tau, jnp.asarray(ds), self._params(),
                 state.eig_seed)
             state.eig_seed = eig_seed
-            # one batched device->host transfer for all step scalars
-            cv, itn, itl, res, vals_h, cv_eig, p_new = jax.device_get(
-                (cv, itn, itl, res, vals, cv_eig, z_new.p))
+            # ONE batched device->host transfer for every scalar the host
+            # loop needs this step (each separate fetch is a full RTT on a
+            # tunneled TPU; the eigenvector block stays on device)
+            fetch = [cv, itn, itl, res, cv_eig, z_new.p, tau_new.p]
+            if vals_p is not None:
+                fetch += [vals_p[0], vals_p[1]]
+            out = jax.device_get(fetch)
+            cv, itn, itl, res, cv_eig, p_new, tau_p_new = out[:7]
             state.converged = bool(cv)
             state.itnewton = int(itn)
             state.itlinear = int(itl)
@@ -268,12 +282,14 @@ class ContIterable:
                 object.__setattr__(state, "_p_cache",
                                    (id(z_new), float(p_new)))
                 state.tau = tau_new
+                object.__setattr__(state, "_tau_p_cache",
+                                   (id(tau_new), float(tau_p_new)))
                 self._poly_push(state)
                 if cp.compute_eigenelements:
-                    vals_np = np.asarray(vals_h)
+                    vals_np = np.asarray(out[7]) + 1j * np.asarray(out[8])
                     tol = cp.tol_stability
                     state.eigvals = vals_np
-                    state.eigvecs = vecs
+                    state.eigvecs = self.kernels.join_cplx(vecs_p)
                     state.converged_eig = bool(cv_eig)
                     state.n_unstable = (int(np.sum(vals_np.real > tol)),
                                         state.n_unstable[0])

@@ -466,9 +466,20 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
         return (z_acc, tau_acc, cv, itn, itl, res, _join_cplx(vals_p),
                 _join_cplx(vecs_p), cv_eig, seed)
 
+    def palc_full_step_raw(z, tau, ds, params, eig_seed=None):
+        """Fused step WITHOUT host transfers: everything stays on device
+        (complex outputs as (re, im) pairs) so the engine can fetch all
+        step scalars in one batched device_get — on a tunneled TPU every
+        separate transfer is a full RTT."""
+        if eig_seed is None or tuple(eig_seed.shape) != eig_seed0().shape:
+            eig_seed = eig_seed0()   # shape change = nev was auto-raised
+        return _palc_full_step_split(z, tau, ds, params, eig_seed)
+
     return SimpleNamespace(
         newton_fixed=newton_fixed,
         palc_full_step=palc_full_step,
+        palc_full_step_raw=palc_full_step_raw,
+        join_cplx=_join_cplx,
         palc_corrector=palc_corrector,
         mp_corrector=mp_corrector,
         secant_tangent=secant_tangent,
