@@ -135,8 +135,12 @@ def swift_hohenberg_periodic_2d(N: int = 512, L: float = 16 * np.pi,
         return apply_L(u) + par["l"] * u + par["nu"] * u * u - u ** 3
 
     def precond(v):
-        """Spectral preconditioner (L - shift)^-1 for GMRES."""
-        return jnp.real(jnp.fft.ifft2(jnp.fft.fft2(v) / (sym - 1.0)))
+        """Spectral preconditioner (L - shift)^-1 for GMRES (accepts the
+        (N, N) field or the raveled vector the eig layer hands out)."""
+        shp = v.shape
+        x = v.reshape(sym.shape)
+        return jnp.real(jnp.fft.ifft2(jnp.fft.fft2(x)
+                                      / (sym - 1.0))).reshape(shp)
 
     X = np.linspace(-L / 2, L / 2, N, endpoint=False)
     sol0 = (np.cos(X)[:, None] * np.cos(X)[None, :]) * 1.1

@@ -115,3 +115,33 @@ def test_mixed_precision_refine():
     eig = LOBPCGEig(maxiter=60, tol=1e-4, extra=6, precond=pre)
     vals, _, _, _ = eig(J32, 8, J_hi=J64)
     assert np.abs(np.real(vals) - w_ref[:8]).max() < 1e-3
+
+
+def test_lobpcg_nev_autoraise_seed_reshape():
+    """The blocked warm-start seed has shape (n, nev); a nev auto-raise
+    rebuilds the kernels with a larger seed block — the host wrappers must
+    re-init rather than feed the stale-shape seed (kernels.py guard)."""
+    d = jnp.concatenate([0.1 * (1.0 + jnp.arange(12)),
+                         10.0 + jnp.arange(4)])
+
+    def F(u, par):
+        return (par["p"] - d) * u - u ** 3
+
+    prob = bk.BifurcationProblem(F, u0=jnp.zeros(16), params={"p": 0.0},
+                                 lens="p")
+    eig = LOBPCGEig(maxiter=80, tol=1e-8, extra=2)
+    cp = bk.ContinuationPar(ds=0.02, dsmax=0.04, dsmin=1e-6, p_min=-0.1,
+                            p_max=1.45, max_steps=200, nev=5,
+                            detect_bifurcation=3, n_inversion=2,
+                            newton_options=bk.NewtonPar(tol=1e-10,
+                                                        eigsolver=eig))
+    from bifurcationkit.jl_tpu.continuation.engine import ContIterable
+    from bifurcationkit.jl_tpu.continuation.driver import _continuation_loop
+
+    it = ContIterable(prob, bk.PALC(), cp)
+    assert it.kernels.nev == 5
+    res = _continuation_loop(it)
+    assert it.kernels.nev >= 12           # auto-raise engaged
+    bps = [sp for sp in res.specialpoint if sp.type in ("bp", "nd")]
+    mult = sum(2 if sp.type == "nd" else 1 for sp in bps)
+    assert mult >= 12                     # every crossing still classified
