@@ -51,16 +51,26 @@ def main(N=256):
           f"converged={bool(sol.converged)} in {int(sol.itnewton)} iters, "
           f"{time.time()-t0:.1f}s (incl. compile)")
 
-    # stability along the branch: shift-invert Arnoldi (the reference's
-    # EigArpack(0.1, :LM)); on TPU the sweep runs in f32 (compute_dtype) —
-    # detection is count-based, ~1e-5 eigenvalue error is ample, 32x faster
-    eig = bk.ShiftInvertEig(
-        sigma=0.1,
-        eigsolver=bk.ArnoldiEig(which="LM", krylov_dim=40, restarts=2,
-                                tol=1e-4 if on_tpu else 1e-10),
-        linsolver=bk.GMRES(restart=40, maxiter=120, rtol=1e-5,
-                           precond=prob.spectral_precond),
-        compute_dtype=np.float32 if on_tpu else None)
+    # stability along the branch.  The Neumann SH jacobian is symmetric
+    # (gradient flow): on TPU (f64 base dtype) use blocked mixed-precision
+    # LOBPCG — no inner solves, f32 CholQR2 sweep + f64 Rayleigh-Ritz
+    # refine, warm-started across steps (docs/PERF.md: 480ms -> 66ms).
+    # The f32-only periodic variant keeps shift-invert (no f64 operator
+    # for the refine; ||A|| ~ 4e6 puts the f32 Ritz wall at O(1) error).
+    symmetric_f64 = os.environ.get("SH2D_PERIODIC", "0") != "1"
+    if on_tpu and symmetric_f64:
+        eig = bk.LOBPCGEig(
+            maxiter=30, tol=3e-3, extra=8,
+            precond=lambda v: prob.spectral_precond(v, shift=1.0),
+            compute_dtype=np.float32)
+    else:
+        eig = bk.ShiftInvertEig(
+            sigma=0.1,
+            eigsolver=bk.ArnoldiEig(which="LM", krylov_dim=40, restarts=2,
+                                    tol=1e-4 if on_tpu else 1e-10),
+            linsolver=bk.GMRES(restart=40, maxiter=120, rtol=1e-5,
+                               precond=prob.spectral_precond),
+            compute_dtype=np.float32 if on_tpu else None)
     cp = bk.ContinuationPar(ds=-0.005, dsmax=0.02, dsmin=1e-6, p_min=-0.8,
                             p_max=0.2, max_steps=60, nev=12,
                             detect_bifurcation=3 if on_tpu else 0,
