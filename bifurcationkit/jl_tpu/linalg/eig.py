@@ -590,7 +590,7 @@ class LOBPCGEig:
             L = jnp.linalg.cholesky(G)
             return jax.scipy.linalg.solve_triangular(L, S.T, lower=True).T
 
-        def _ritz(S, exact_qr=False):
+        def _ritz(S):
             """Orthonormalize S and Rayleigh-Ritz the top-k pairs.
 
             A is re-applied to the orthonormalized basis (one vmapped
@@ -598,10 +598,7 @@ class LOBPCGEig:
             rank-deficient S (converged pairs, duplicated directions) then
             merely yields harmless extra search directions instead of
             amplified noise from an ill-conditioned triangular solve."""
-            if exact_qr:
-                Q, _ = jnp.linalg.qr(S)
-            else:
-                Q = _cholqr(_cholqr(S))
+            Q = _cholqr(_cholqr(S))
             AQ = blockA(Q)
             G = Q.T @ AQ
             G = 0.5 * (G + G.T)
