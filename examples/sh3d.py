@@ -44,14 +44,19 @@ def main(N=22, max_steps=146):
           f"converged={bool(sol.converged)} in {int(sol.itnewton)} iters, "
           f"{time.time() - t0:.1f}s; |u|_inf={np.abs(u).max():.4f}")
 
-    # shift-invert Arnoldi through the same preconditioned GMRES
-    # (ref SH3dEig, SH3d.jl:98-121: sigma = 0.1, KrylovKit :LM)
-    eig = bk.ShiftInvertEig(sigma=0.1,
-                            linsolver=bk.GMRES(
-                                restart=40, maxiter=200,
-                                rtol=1e-5 if on_tpu else 1e-9,
-                                precond=precond),
-                            compute_dtype=jnp.float32 if on_tpu else None)
+    # stability sweep (ref SH3dEig, SH3d.jl:98-121: sigma = 0.1, :LM).
+    # TPU: the 3D SH jacobian is symmetric (gradient flow) — blocked
+    # mixed-precision LOBPCG with the exact DCT preconditioner, no inner
+    # solves (docs/PERF.md).  CPU: shift-invert Arnoldi as in the reference.
+    if on_tpu:
+        eig = bk.LOBPCGEig(maxiter=30, tol=3e-3, extra=8,
+                           precond=lambda v: precond(v, shift=1.0),
+                           compute_dtype=jnp.float32)
+    else:
+        eig = bk.ShiftInvertEig(sigma=0.1,
+                                linsolver=bk.GMRES(
+                                    restart=40, maxiter=200, rtol=1e-9,
+                                    precond=precond))
     cp = bk.ContinuationPar(ds=-0.001, dsmax=0.005, dsmin=1e-4, p_min=-0.1,
                             p_max=0.15, max_steps=max_steps,
                             detect_bifurcation=3, nev=15, n_inversion=4,
