@@ -54,34 +54,41 @@ class ContState:
     _p_old_cache: Any = None
     _tau_p_cache: Any = None
 
+    # invalidate the scalar caches at EVERY assignment of the field they
+    # shadow: id()-keyed caches alone are unsafe because CPython can reuse a
+    # freed object's address, silently serving a stale value
+    _CACHE_FOR = {"z": "_p_cache", "z_old": "_p_old_cache",
+                  "tau": "_tau_p_cache"}
+
+    def __setattr__(self, name, value):
+        object.__setattr__(self, name, value)
+        cache = self._CACHE_FOR.get(name)
+        if cache is not None:
+            object.__setattr__(self, cache, None)
+
     def copy(self) -> "ContState":
         return dataclasses.replace(self)
 
     # the scalar parameter is read many times per host-loop iteration; each
     # float() is a device->host transfer (a full RTT on a tunneled TPU), so
-    # cache per z-object identity
+    # cache the fetched value (cleared on assignment by __setattr__)
     @property
     def p(self) -> float:
-        zid = id(self.z)
-        if self._p_cache is None or self._p_cache[0] != zid:
-            object.__setattr__(self, "_p_cache", (zid, float(self.z.p)))
-        return self._p_cache[1]
+        if self._p_cache is None:
+            object.__setattr__(self, "_p_cache", float(self.z.p))
+        return self._p_cache
 
     @property
     def p_old(self) -> float:
-        zid = id(self.z_old)
-        if self._p_old_cache is None or self._p_old_cache[0] != zid:
-            object.__setattr__(self, "_p_old_cache",
-                               (zid, float(self.z_old.p)))
-        return self._p_old_cache[1]
+        if self._p_old_cache is None:
+            object.__setattr__(self, "_p_old_cache", float(self.z_old.p))
+        return self._p_old_cache
 
     @property
     def tau_p(self) -> float:
-        tid = id(self.tau)
-        if self._tau_p_cache is None or self._tau_p_cache[0] != tid:
-            object.__setattr__(self, "_tau_p_cache",
-                               (tid, float(self.tau.p)))
-        return self._tau_p_cache[1]
+        if self._tau_p_cache is None:
+            object.__setattr__(self, "_tau_p_cache", float(self.tau.p))
+        return self._tau_p_cache
 
 
 class ContIterable:
@@ -276,14 +283,15 @@ class ContIterable:
             state.itlinear = int(itl)
             state.res = float(res)
             if state.converged:
+                p_prev = state.p      # fill the cache before z is replaced
                 state.z_old = state.z
                 state.z = z_new
-                object.__setattr__(state, "_p_old_cache", state._p_cache)
-                object.__setattr__(state, "_p_cache",
-                                   (id(z_new), float(p_new)))
+                # the scalars already crossed in the batched fetch above —
+                # write the caches so the host loop never re-fetches them
+                object.__setattr__(state, "_p_old_cache", p_prev)
+                object.__setattr__(state, "_p_cache", float(p_new))
                 state.tau = tau_new
-                object.__setattr__(state, "_tau_p_cache",
-                                   (id(tau_new), float(tau_p_new)))
+                object.__setattr__(state, "_tau_p_cache", float(tau_p_new))
                 self._poly_push(state)
                 if cp.compute_eigenelements:
                     vals_np = np.asarray(out[7]) + 1j * np.asarray(out[8])

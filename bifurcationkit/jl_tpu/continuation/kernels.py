@@ -361,10 +361,11 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
     _seed_cols_fn = getattr(eigsolver, "seed_cols", None)
     n_seed_cols = _seed_cols_fn(nev) if callable(_seed_cols_fn) else None
 
+    seed0_shape = ((n_state, n_seed_cols) if n_seed_cols
+                   else (n_state,))   # plain tuple: shape checks stay free
+
     def eig_seed0():
-        if n_seed_cols:
-            return jnp.zeros((n_state, n_seed_cols), seed_dtype)
-        return jnp.zeros((n_state,), seed_dtype)   # zero -> random start
+        return jnp.zeros(seed0_shape, seed_dtype)  # zero -> random start
 
     @jax.jit
     def _eig_device(u, p, params, eig_seed):
@@ -425,7 +426,7 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
     def eig_kernel(u, p, params, eig_seed=None):
         """Host-facing eig: returns NUMPY complex (vals, vecs) + cv + the
         device-side warm-start seed for the next call."""
-        if eig_seed is None or tuple(eig_seed.shape) != eig_seed0().shape:
+        if eig_seed is None or tuple(eig_seed.shape) != seed0_shape:
             eig_seed = eig_seed0()   # shape change = nev was auto-raised
         vals_p, vecs_p, cv, seed = _eig_kernel_split(u, p, params, eig_seed)
         return _join_cplx(vals_p), _join_cplx(vecs_p), cv, seed
@@ -459,7 +460,7 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
 
     def palc_full_step(z, tau, ds, params, eig_seed=None):
         """Host-facing fused step: complex eig outputs as numpy."""
-        if eig_seed is None or tuple(eig_seed.shape) != eig_seed0().shape:
+        if eig_seed is None or tuple(eig_seed.shape) != seed0_shape:
             eig_seed = eig_seed0()   # shape change = nev was auto-raised
         (z_acc, tau_acc, cv, itn, itl, res, vals_p, vecs_p,
          cv_eig, seed) = _palc_full_step_split(z, tau, ds, params, eig_seed)
@@ -471,7 +472,7 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
         (complex outputs as (re, im) pairs) so the engine can fetch all
         step scalars in one batched device_get — on a tunneled TPU every
         separate transfer is a full RTT."""
-        if eig_seed is None or tuple(eig_seed.shape) != eig_seed0().shape:
+        if eig_seed is None or tuple(eig_seed.shape) != seed0_shape:
             eig_seed = eig_seed0()   # shape change = nev was auto-raised
         return _palc_full_step_split(z, tau, ds, params, eig_seed)
 

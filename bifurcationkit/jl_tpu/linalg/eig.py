@@ -510,13 +510,25 @@ class LOBPCGEig:
     flagship (ref examples/SH2d-fronts.jl:91) where each Arnoldi step
     costs a full preconditioned GMRES solve.
 
-    The A-applications are cached through the Rayleigh-Ritz rotations, so
-    each iteration applies A only to the `block` new preconditioned
-    residual directions (one vmapped dispatch).
+    Each iteration re-applies A to the full orthonormalized [X | W | P]
+    basis (one vmapped blocked dispatch of 3k matvecs) rather than rotating
+    cached products: ~3x more matvecs than the caching variant, but
+    rank-deficient bases near convergence then merely waste a few search
+    directions instead of amplifying noise through an ill-conditioned
+    triangular solve (see `_ritz`).
 
     `precond` is a callable v -> T v on flat vectors, T ~ (alpha I - J)^-1
     in the loose preconditioning sense (a fixed spectral/DCT inverse of the
     linear part works; sign and shift need not be exact).
+
+    CONTRACT: J must be symmetric (self-adjoint in the flat inner product);
+    a non-symmetric operator would silently yield wrong "eigenvalues" of
+    its symmetric part.  When the inputs are concrete (outside jit) the
+    call probes `|<Jv,w> - <v,Jw>|` on two random vectors and raises on
+    misuse; inside a traced computation the check is skipped (set
+    `symmetry_check=False` to skip it always).  With `refine_iters > 0`
+    the refine pass needs an f64-capable operator `J_hi` (x64 enabled);
+    see `docs/TPU_NOTES.md`.
     """
 
     maxiter: int = 30
@@ -536,10 +548,34 @@ class LOBPCGEig:
     # the f32 subspace is accurate (angle ~ noise/gap), and the hi Ritz
     # values inherit only the *squared* angle error.
     refine_iters: int = 2
+    symmetry_check: bool = True
 
     def seed_cols(self, nev: int) -> int:
         # warm-start block = the converged eigenvector block
         return nev
+
+    def _check_symmetry(self, matvec, n, dtype):
+        """Probe |<Jv,w> - <v,Jw>| on two random vectors; only possible when
+        the operator is concrete (outside jit) — inside a trace the probe
+        values are tracers and the check is skipped."""
+        key = jax.random.PRNGKey(314)
+        v = jax.random.normal(key, (n,), dtype)
+        w = jax.random.normal(jax.random.fold_in(key, 1), (n,), dtype)
+        try:
+            jv, jw = matvec(v), matvec(w)
+            asym = abs(float(jnp.vdot(jv, w) - jnp.vdot(v, jw)))
+            scale = float(jnp.linalg.norm(jv) * jnp.linalg.norm(w)
+                          + jnp.linalg.norm(v) * jnp.linalg.norm(jw))
+        except (jax.errors.TracerArrayConversionError,
+                jax.errors.ConcretizationTypeError):
+            return
+        tol = 1e3 * float(jnp.finfo(dtype).eps)
+        if asym > tol * max(scale, 1e-30):
+            raise ValueError(
+                "LOBPCGEig requires a SYMMETRIC operator: symmetry probe "
+                f"|<Jv,w> - <v,Jw>| = {asym:.3e} (scale {scale:.3e}). "
+                "Use ArnoldiEig/ShiftInvertEig for non-symmetric jacobians, "
+                "or pass symmetry_check=False if the probe misfires.")
 
     def __call__(self, J, nev: int, v0=None, J_hi=None):
         if self.compute_dtype is not None and not is_operator(J):
@@ -547,6 +583,8 @@ class LOBPCGEig:
                 J_hi = J
             J = J.astype(self.compute_dtype)
         matvec, n, dtype = _as_flat_matvec(J)
+        if self.symmetry_check:
+            self._check_symmetry(matvec, n, dtype)
         cdtype = _complex_dtype()
         k = min(nev + self.extra, n)
         tol_eff = max(self.tol, 50.0 * float(jnp.finfo(dtype).eps))
@@ -630,7 +668,16 @@ class LOBPCGEig:
             # pre-orthogonalize W against X (cheap, keeps the QR well
             # conditioned near convergence)
             W = W - X @ (X.T @ W)
-            W = W / _colnorm(W)
+            # a converged pair's residual column can underflow to ~zero;
+            # the norm floor would preserve it as a zero column, letting
+            # the CholQR jitter admit a spurious theta~0 Ritz pair —
+            # refill near-zero W columns with fresh random directions,
+            # mirroring the P-block refill below
+            wn = _colnorm(W)
+            wfill = jax.random.normal(
+                jax.random.fold_in(key, 7919 + it), (n, k), dtype)
+            okw = (wn > eps_c)[None, :]
+            W = jnp.where(okw, W / wn, wfill / _colnorm(wfill))
             S = jnp.concatenate([X, W, P], axis=1)
             theta_n, Xn, AXn = _ritz(S)
             # conjugate-direction block: the component of the new iterate

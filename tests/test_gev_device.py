@@ -148,3 +148,28 @@ def test_real_embedding_border_solve_matches_complex():
     # the complex-shift dispatch of _border_solve takes the same path
     v2, s2 = _border_solve(J, a, b, shift=-1j * omega)
     np.testing.assert_allclose(np.asarray(v2), ref[:n], atol=1e-8)
+
+
+def test_device_gev_shift_collision_retry():
+    """A pencil eigenvalue planted exactly at the first fixed shift must not
+    silently corrupt the rotation: the ill-conditioning guard retries with
+    the second shift (ref robustness contract,
+    src/GeneralizedEigenSolver.jl:19-199)."""
+    from bifurcationkit.jl_tpu.linalg.geig import _GEV_SIGMA
+
+    rng = np.random.default_rng(11)
+    n = 10
+    vals = np.sort(rng.standard_normal(n))[::-1]
+    vals[3] = _GEV_SIGMA                   # exact collision
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    A = jnp.asarray(Q @ np.diag(vals) @ Q.T)
+    B = jnp.asarray(np.eye(n))
+    w, v = _dense_gev_device(A, B)
+    np.testing.assert_allclose(np.asarray(w).real,
+                               np.sort(vals)[::-1], atol=1e-8)
+    np.testing.assert_allclose(np.asarray(w).imag, 0.0, atol=1e-8)
+    # eigenvectors still satisfy the pencil
+    for i in range(n):
+        x = np.asarray(v[:, i])
+        r = np.asarray(A) @ x.real - np.asarray(w[i]).real * x.real
+        assert np.linalg.norm(r) < 1e-6 * np.linalg.norm(x)

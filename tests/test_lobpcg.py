@@ -145,3 +145,19 @@ def test_lobpcg_nev_autoraise_seed_reshape():
     bps = [sp for sp in res.specialpoint if sp.type in ("bp", "nd")]
     mult = sum(2 if sp.type == "nd" else 1 for sp in bps)
     assert mult >= 12                     # every crossing still classified
+
+
+def test_lobpcg_rejects_nonsymmetric():
+    """Misuse contract (VERDICT r2 weak #5): handing LOBPCG a non-symmetric
+    jacobian raises instead of silently returning wrong spectra."""
+    import pytest
+
+    rng = np.random.default_rng(3)
+    A = jnp.asarray(rng.standard_normal((20, 20)))   # generic, asymmetric
+    with pytest.raises(ValueError, match="SYMMETRIC"):
+        LOBPCGEig(maxiter=5)(A, 3)
+    # symmetric input passes the probe
+    S = A + A.T
+    vals, _, _, _ = LOBPCGEig(maxiter=200, tol=1e-9)(S, 3)
+    ref = np.sort(np.linalg.eigvalsh(np.asarray(S)))[::-1][:3]
+    np.testing.assert_allclose(np.asarray(vals).real, ref, atol=1e-6)
