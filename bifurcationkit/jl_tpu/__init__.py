@@ -53,7 +53,8 @@ from .periodic.normal_forms import (get_normal_form_po, neimark_sacker_iooss,
                                     poincare_return_map)
 from .periodic.cop import (COPBLS, COPLS, collocation_block_jacobian,
                            cop_solve, cop_solve_bordered)
-from .periodic import FloquetColl, FloquetGEV, get_periodic_orbit
+from .periodic import (FloquetColl, FloquetGEV, FloquetQaDMF,
+                       get_periodic_orbit)
 from .ops import BSRMatrix, DIAMatrix, ELLMatrix, dia_spmv
 from .utils import (load_branch, plot_bifurcation_diagram, plot_branch,
                     plot_periodic_orbit, resume_data, save_branch,

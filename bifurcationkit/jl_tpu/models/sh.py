@@ -107,48 +107,135 @@ def swift_hohenberg_2d(Nx: int = 151, Ny: int = 100, lx: float = 8 * np.pi,
     return prob
 
 
-def swift_hohenberg_periodic_2d(N: int = 512, L: float = 16 * np.pi,
-                                l: float = -0.15, nu: float = 1.3,
-                                dtype=None):
-    """Periodic SH2d with the spectral diagonal operator — the GPU example's
-    FFT path (ref examples/SH2d-fronts-cuda.jl:31-65) rebuilt on jnp.fft.
-    The linear solve (I + Delta)^2-shifted is diagonal in Fourier space.
+def _lap_periodic(u, h2, axis):
+    """1D periodic second difference: wrap-pad + slice (same fused-shift
+    lowering as `_lap_neumann`; `mode="wrap"` rolls the halo in)."""
+    n = u.shape[axis]
+    pw = [(0, 0)] * u.ndim
+    pw[axis] = (1, 1)
+    up2 = jnp.pad(u, pw, mode="wrap")
+    um = jax.lax.slice_in_dim(up2, 0, n, axis=axis)
+    up = jax.lax.slice_in_dim(up2, 2, n + 2, axis=axis)
+    return (um - 2 * u + up) / h2
 
-    dtype: float64 (default on CPU) or float32 — TPU FFT supports complex64
-    only, so pass jnp.float32 for TPU runs (Newton tol ~1e-5)."""
+
+def swift_hohenberg_periodic_2d(Nx: int = 512, Ny: int = None,
+                                lx: float = 16 * np.pi,
+                                ly: float = 4 * np.pi * 2 / np.sqrt(3),
+                                l: float = -0.15, nu: float = 1.3,
+                                dtype=None, operator: str = "fd",
+                                N: int = None, L: float = None):
+    """Periodic SH2d — the reference GPU example's workload
+    (ref examples/SH2d-fronts-cuda.jl:19-20,31-65: N = 2^9 x 2^9, Float64)
+    re-designed TPU-first.
+
+    operator="fd" (default): the residual/jvp is a real-space 13-point
+    periodic finite-difference stencil, f64-capable ON TPU (elementwise f64
+    is supported; only the FFT is complex64-only).  The FFT still provides
+    the EXACT diagonal inverse of the linear part for preconditioning and
+    for the f32 stability sweeps, because the periodic FD Laplacian is
+    diagonalized by the DFT with the discrete symbol
+    lambda_j = 2(cos(2 pi j / N) - 1)/h^2.  This is the TPU-native answer
+    to the reference's Float64-throughout CUDA run: f64 stencil residuals
+    + Newton corrections, f32 FFT-preconditioned Krylov, and LOBPCG's f64
+    Rayleigh-Ritz refinement against the f64 stencil operator (the
+    jacobian is symmetric — gradient flow).
+
+    operator="fft": the literal spectral operator of the CUDA example
+    (continuous symbol -(1-k^2)^2), f32-only on TPU (complex64 FFT);
+    kept for the spectral-accuracy variant on CPU.
+
+    dtype defaults to float64 when x64 is on (both backends — the FD
+    stencil makes f64 viable on TPU), else float32.
+
+    Box, guess and defaults follow the reference: Nx=Ny=2^9 on
+    [-lx,lx] x [-ly,ly] with lx = 16 pi, ly = 4 pi * 2/sqrt(3), hexagon
+    ansatz 0.5 (cos x + cos(x/2) cos(sqrt(3) y / 2))
+    (ref examples/SH2d-fronts-cuda.jl:66-76,117).  The legacy (N, L)
+    square-box aliases are accepted."""
     import jax as _jax
 
+    if N is not None:
+        Nx = N
+    if Ny is None:
+        Ny = Nx
+    if L is not None:
+        lx = ly = L / 2
     if dtype is None:
-        dtype = (jnp.float64 if _jax.default_backend() == "cpu"
-                 else jnp.float32)
-    h = L / N
-    k = np.fft.fftfreq(N, d=h) * 2 * np.pi
-    KX = k[:, None]
-    KY = k[None, :]
-    sym = -((1 - KX ** 2 - KY ** 2) ** 2)   # symbol of -(I+Delta)^2
-    sym = jnp.asarray(sym, dtype=dtype)
+        if operator == "fd":
+            dtype = (jnp.float64 if _jax.config.jax_enable_x64
+                     else jnp.float32)
+        else:
+            dtype = (jnp.float64 if _jax.default_backend() == "cpu"
+                     else jnp.float32)
+    hx = 2 * lx / Nx
+    hy = 2 * ly / Ny
 
-    def apply_L(u):
-        return jnp.real(jnp.fft.ifft2(sym * jnp.fft.fft2(u)))
+    if operator == "fd":
+        # discrete symbols of the periodic 5-point Laplacian: the FFT
+        # diagonalizes the FD operator EXACTLY (not just asymptotically)
+        hx2, hy2 = float(hx * hx), float(hy * hy)
+        lam_x = 2.0 * (np.cos(2 * np.pi * np.arange(Nx) / Nx) - 1.0) / hx2
+        lam_y = 2.0 * (np.cos(2 * np.pi * np.arange(Ny) / Ny) - 1.0) / hy2
+        sym_np = -((1.0 + lam_x[:, None] + lam_y[None, :]) ** 2)
 
-    def F(u, par):
-        return apply_L(u) + par["l"] * u + par["nu"] * u * u - u ** 3
+        def lap(u):
+            return _lap_periodic(u, hx2, 0) + _lap_periodic(u, hy2, 1)
 
-    def precond(v):
-        """Spectral preconditioner (L - shift)^-1 for GMRES (accepts the
-        (N, N) field or the raveled vector the eig layer hands out)."""
+        def F(u, par):
+            v = u + lap(u)
+            L1u = v + lap(v)
+            return -L1u + par["l"] * u + par["nu"] * u * u - u ** 3
+    else:
+        kx = np.fft.fftfreq(Nx, d=hx) * 2 * np.pi
+        ky = np.fft.fftfreq(Ny, d=hy) * 2 * np.pi
+        sym_np = -((1 - kx[:, None] ** 2 - ky[None, :] ** 2) ** 2)
+        sym_op = jnp.asarray(sym_np, dtype=dtype)
+
+        def apply_L(u):
+            return jnp.real(jnp.fft.ifft2(sym_op * jnp.fft.fft2(u)))
+
+        def F(u, par):
+            return apply_L(u) + par["l"] * u + par["nu"] * u * u - u ** 3
+
+    # analytic second/third derivatives (same algebra as the Neumann model)
+    def d2F(u, par, dx1, dx2):
+        return (2 * par["nu"] * dx2 - 6 * dx2 * u) * dx1
+
+    def d3F(u, par, dx1, dx2, dx3):
+        return -6 * dx1 * dx2 * dx3
+
+    sym = jnp.asarray(sym_np)
+    sym32 = jnp.asarray(sym_np, jnp.float32)
+
+    def precond(v, shift=1.0):
+        """Exact diagonal inverse of (linear part - shift) in Fourier
+        space; steers GMRES/LOBPCG only, so the f32 transform on TPU
+        (complex64-only FFT) costs nothing in final accuracy."""
         shp = v.shape
         x = v.reshape(sym.shape)
-        return jnp.real(jnp.fft.ifft2(jnp.fft.fft2(x)
-                                      / (sym - 1.0))).reshape(shp)
+        if jax.default_backend() == "tpu" or x.dtype == jnp.float32:
+            out = jnp.real(jnp.fft.ifft2(
+                jnp.fft.fft2(x.astype(jnp.float32)) / (sym32 - shift)))
+            out = out.astype(v.dtype)
+        else:
+            out = jnp.real(jnp.fft.ifft2(jnp.fft.fft2(x) / (sym - shift)))
+        return out.reshape(shp)
 
-    X = np.linspace(-L / 2, L / 2, N, endpoint=False)
-    sol0 = (np.cos(X)[:, None] * np.cos(X)[None, :]) * 1.1
+    # hexagon ansatz (ref examples/SH2d-fronts-cuda.jl:76)
+    X = -lx + hx * np.arange(Nx)
+    Y = -ly + hy * np.arange(Ny)
+    sol0 = 0.5 * (np.cos(X)[:, None]
+                  + np.cos(X / 2)[:, None]
+                  * np.cos(np.sqrt(3) * Y / 2)[None, :])
 
-    prob = BifurcationProblem(F, u0=jnp.asarray(sol0, dtype=dtype),
-                              params={"l": jnp.asarray(l, dtype),
-                                      "nu": jnp.asarray(nu, dtype)},
-                              lens="l")
+    prob = BifurcationProblem(
+        F, u0=jnp.asarray(sol0, dtype=dtype),
+        params={"l": jnp.asarray(l, dtype), "nu": jnp.asarray(nu, dtype)},
+        lens="l", d2F_user=d2F, d3F_user=d3F,
+        record_from_solution=lambda x, p, **k: {
+            "param": p, "norm": jnp.linalg.norm(x.ravel()),
+            "n8": jnp.power(jnp.sum(x.ravel() ** 8), 1.0 / 8)})
     object.__setattr__(prob, "spectral_precond", precond)
     return prob
 

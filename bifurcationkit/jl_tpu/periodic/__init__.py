@@ -12,6 +12,6 @@ from .normal_forms import (get_normal_form_po, neimark_sacker_iooss,
                            poincare_return_map)
 from .cop import (COPBLS, COPLS, COPBlocks, collocation_block_jacobian,
                   cop_solve, cop_solve_bordered)
-from .floquet import FloquetColl, FloquetGEV
+from .floquet import FloquetColl, FloquetGEV, FloquetQaDMF
 from .orbits import get_periodic_orbit
 from .codim2 import bp_po_branch_switch

@@ -103,6 +103,45 @@ class FloquetColl:
         return expo[:nev], vecs[:, :nev], jnp.array(True), jnp.array(1)
 
 
+@dataclasses.dataclass(frozen=True)
+class FloquetQaDMF:
+    """Matrix-free FloquetQaD (ref Floquet.jl:89-109, MF shooting variant
+    :164-254): the monodromy is applied as an OPERATOR (chain of
+    per-segment flow jvps / per-slice trapeze half-step solves — see
+    `Shooting.monodromy_operator` / `Trapeze.monodromy_operator`) and the
+    leading multipliers come from Krylov :LM on it.  This is the PDE-scale
+    shooting stability path: a `jacfwd` monodromy at n >~ 10^3 costs n
+    variational integrations and O(n^2) memory; here a sweep costs
+    krylov_dim of them and O(krylov_dim * n).
+
+    Expects `eig_jacobian` to hand over the operator
+    (periodic_orbit_problem(..., floquet="qad_mf"))."""
+
+    is_floquet: bool = True
+    eigsolver: object = dataclasses.field(
+        default_factory=lambda: _default_mf_eig())
+
+    def __call__(self, op, nev: int, v0=None):
+        try:
+            mult, vecs, cv, it = self.eigsolver(op, nev, v0=v0)
+        except TypeError:
+            mult, vecs, cv, it = self.eigsolver(op, nev)
+        expo = jnp.log(mult.astype(_complex_dtype()))
+        order = jnp.lexsort((-expo.imag, -expo.real))
+        return expo[order], vecs[:, order], cv, it
+
+    def seed_cols(self, nev: int):
+        # warm-start contract shared with ArnoldiEig (single recombined
+        # Ritz direction)
+        return None
+
+
+def _default_mf_eig():
+    from ..linalg.eig import ArnoldiEig
+
+    return ArnoldiEig(which="LM", krylov_dim=30, restarts=3, tol=1e-9)
+
+
 def floquet_multipliers(disc, prob_vf, X, po_par):
     """Host-friendly: the Floquet multipliers of an orbit."""
     Mn = disc.monodromy(prob_vf, X, po_par)

@@ -179,6 +179,16 @@ def periodic_orbit_problem(prob_vf: BifurcationProblem, disc, X0,
 
         def eig_jacobian(X, par):
             return _cbj(disc, prob_vf, X, par)
+    elif floquet == "qad_mf":
+        # matrix-free monodromy operator (ref Floquet.jl:89-109,164-254):
+        # PDE-scale shooting/trapeze stability without forming (n, n)
+        if not hasattr(disc, "monodromy_operator"):
+            raise ValueError(
+                "floquet='qad_mf' needs a discretization with a "
+                "monodromy_operator (Shooting or Trapeze)")
+
+        def eig_jacobian(X, par):
+            return disc.monodromy_operator(prob_vf, X, par)
     else:
         def eig_jacobian(X, par):
             return disc.monodromy(prob_vf, X, par)
@@ -218,13 +228,15 @@ def _floquet_mode(contparams: ContinuationPar, floquet=None) -> str:
     (FloquetColl wants the COP blocks, FloquetGEV the interval maps)."""
     if floquet is not None:
         return floquet
-    from .floquet import FloquetColl, FloquetGEV
+    from .floquet import FloquetColl, FloquetGEV, FloquetQaDMF
 
     eig = contparams.newton_options.eigsolver
     if isinstance(eig, FloquetColl):
         return "coll"
     if isinstance(eig, FloquetGEV):
         return "gev"
+    if isinstance(eig, FloquetQaDMF):
+        return "qad_mf"
     return "qad"
 
 

@@ -85,6 +85,34 @@ class Shooting:
                              jnp.arange(self.M))
         return Mn
 
+    def monodromy_operator(self, prob_vf, X, po_par):
+        """MATRIX-FREE monodromy v -> M v: the chain of per-segment flow
+        jvps, never materializing the (n, n) matrix (ref the matrix-free
+        FloquetQaD operator, Floquet.jl:89-109 and the MF shooting variant
+        :164-254, exercised by examples/codim2PO-sh-mf.jl).  Each
+        application integrates the variational equation along the orbit
+        via `jax.jvp` through the integrator — O(M * steps * n) work and
+        memory, so PDE-scale shooting stability (n >~ 10^3, where a
+        `jacfwd` monodromy is n times that) stays feasible.  Feed it to
+        `FloquetQaDMF` (Krylov :LM on the operator)."""
+        from ..linalg.eig import FlatOperator
+
+        params = po_par["_inner"]
+        n = po_par["_xsec"].shape[0]
+        u, T = self.split(X, n)
+        fl = self._flow(prob_vf)
+
+        def Mv(v):
+            def seg(vc, x):
+                _, jv = jax.jvp(lambda w: fl(w, params, T / self.M),
+                                (x,), (vc,))
+                return jv, None
+
+            out, _ = jax.lax.scan(seg, v, u)
+            return out
+
+        return FlatOperator(Mv, n, X.dtype)
+
     def generate_solution(self, orbit_fn, T, n: int):
         ts = np.linspace(0, 2 * np.pi, self.M, endpoint=False)
         u = jnp.stack([jnp.asarray(orbit_fn(t)) for t in ts])

@@ -93,6 +93,39 @@ class Trapeze:
         Mn, _ = jax.lax.scan(chain, eye, jnp.arange(M - 1))
         return Mn
 
+    def monodromy_operator(self, prob_vf, X, po_par, linsolver=None):
+        """MATRIX-FREE monodromy v -> M v for the trapeze scheme (ref the
+        MF FloquetQaD operator for Trapeze, Floquet.jl:89-109,255-318):
+        per slice, apply the explicit half with a jvp and invert the
+        implicit half (I - T h/2 J_{i+1}) with an (iterative) linear solve
+        — no (n, n) matrix ever forms, so PDE-scale trapeze stability is
+        feasible.  `linsolver` defaults to plain GMRES; pass a
+        preconditioned one for stiff operators."""
+        from ..linalg.eig import FlatOperator
+        from ..linalg.linear import GMRES
+
+        ls = linsolver or GMRES(restart=30, maxiter=120, rtol=1e-9)
+        params = po_par["_inner"]
+        n = po_par["_uref"].shape[1]
+        u, T = self.split(X, n)
+        h = self.steps()
+
+        def Mv(v):
+            def slice_step(vc, dat):
+                x_prev, x_next, hi = dat
+                rhs = vc + (T * hi / 2.0) * prob_vf.dF(x_prev, params, vc)
+
+                def Bop(w):
+                    return w - (T * hi / 2.0) * prob_vf.dF(x_next, params, w)
+
+                sol, _, _ = ls(Bop, rhs)
+                return sol, None
+
+            out, _ = jax.lax.scan(slice_step, v, (u[:-1], u[1:], h))
+            return out
+
+        return FlatOperator(Mv, n, X.dtype)
+
     def generate_solution(self, orbit_fn, T, n: int):
         """Sample a time-periodic function guess onto the M-slice mesh
         (ref generate_solution, PeriodicOrbits.jl:74)."""

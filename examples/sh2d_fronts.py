@@ -21,10 +21,20 @@ def main(N=256):
     import jax
 
     on_tpu = jax.default_backend() != "cpu"
-    if on_tpu and os.environ.get("SH2D_PERIODIC", "0") == "1":
-        # optional all-f32 FFT-operator variant (the cuda example's path)
-        prob = models.swift_hohenberg_periodic_2d(N=N, L=16 * np.pi, l=-0.15)
+    periodic = os.environ.get("SH2D_PERIODIC", "0") == "1"
+    if periodic and os.environ.get("SH2D_PERIODIC_FFT", "0") == "1":
+        # legacy all-f32 FFT-operator variant (spectral symbol); kept for
+        # comparison — f32-only on TPU, Newton stalls at ~2e-4
+        prob = models.swift_hohenberg_periodic_2d(Nx=N, Ny=N,
+                                                  operator="fft")
         tol_n, tol_c = 2e-4, 5e-4
+    elif periodic:
+        # the cuda example's workload f64-grade on TPU: real-space FD
+        # stencil residuals/jvp (f64 elementwise works on TPU; only the
+        # FFT is c64-only) + exact discrete-symbol FFT preconditioner
+        # (ref examples/SH2d-fronts-cuda.jl:19-20,67-103)
+        prob = models.swift_hohenberg_periodic_2d(Nx=N, Ny=N)
+        tol_n, tol_c = 1e-8, 1e-7
     else:
         # the true reference config: Neumann BCs + localized front,
         # preconditioned with the exact DCT spectral inverse (the precond
@@ -51,13 +61,14 @@ def main(N=256):
           f"converged={bool(sol.converged)} in {int(sol.itnewton)} iters, "
           f"{time.time()-t0:.1f}s (incl. compile)")
 
-    # stability along the branch.  The Neumann SH jacobian is symmetric
-    # (gradient flow): on TPU (f64 base dtype) use blocked mixed-precision
-    # LOBPCG — no inner solves, f32 CholQR2 sweep + f64 Rayleigh-Ritz
-    # refine, warm-started across steps (docs/PERF.md: 480ms -> 66ms).
-    # The f32-only periodic variant keeps shift-invert (no f64 operator
+    # stability along the branch.  The SH jacobian is symmetric (gradient
+    # flow): with an f64-capable operator (Neumann stencil, or the
+    # periodic FD stencil) use blocked mixed-precision LOBPCG — no inner
+    # solves, f32 CholQR2 sweep + f64 Rayleigh-Ritz refine, warm-started
+    # across steps (docs/PERF.md: 480ms -> 66ms).  Only the legacy
+    # f32-only FFT-operator variant keeps shift-invert (no f64 operator
     # for the refine; ||A|| ~ 4e6 puts the f32 Ritz wall at O(1) error).
-    symmetric_f64 = os.environ.get("SH2D_PERIODIC", "0") != "1"
+    symmetric_f64 = os.environ.get("SH2D_PERIODIC_FFT", "0") != "1"
     if on_tpu and symmetric_f64:
         eig = bk.LOBPCGEig(
             maxiter=30, tol=3e-3, extra=8,
