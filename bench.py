@@ -346,6 +346,104 @@ def main_cuda_analog():
 
 
 # ---------------------------------------------------------------------------
+# po: end-to-end periodic-orbit continuation (collocation + COP + FloquetColl)
+# ---------------------------------------------------------------------------
+
+
+def po_steps_per_s(warmup=2, timed=4, nsite=None):
+    """Warm steps/s of a PDE periodic-orbit continuation: 1D brusselator
+    (ref examples/brusselator.jl:92-141), Hopf -> collocation orbit branch
+    with the COP bordered corrector and FloquetColl per-step stability —
+    the L9 path the reference's only recorded timings cover
+    (examples/cGL2d.jl:209-213)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import dataclasses
+
+    import bifurcationkit.jl_tpu as bk
+    from bifurcationkit.jl_tpu import models
+    from bifurcationkit.jl_tpu.continuation.engine import ContIterable
+    from bifurcationkit.jl_tpu.normal_forms.codim1 import (hopf_normal_form,
+                                                           hopf_predictor)
+    from bifurcationkit.jl_tpu.periodic.cop import COPBLS, COPLS
+    from bifurcationkit.jl_tpu.periodic.orbits import (_po_contparams,
+                                                       periodic_orbit_problem)
+
+    nsite = nsite or int(os.environ.get("BENCH_PO_NSITE", "128"))
+    prob = models.brusselator_1d(n=nsite)
+    cp = bk.ContinuationPar(ds=0.01, dsmax=0.02, dsmin=1e-6, p_min=0.29,
+                            p_max=0.8, max_steps=120, detect_bifurcation=3,
+                            nev=8, n_inversion=4,
+                            newton_options=bk.NewtonPar(tol=1e-9))
+    br = bk.continuation(prob, bk.PALC(), cp)
+    ih = [i for i, sp in enumerate(br.specialpoint)
+          if sp.type == "hopf"][0]
+    disc = bk.Collocation(Ntst=30, m=4)
+    hp = hopf_normal_form(prob, br, ih)
+    pred = hopf_predictor(hp, 0.02)
+    n = 2 * nsite
+    X0 = disc.generate_solution(lambda t: np.asarray(pred["orbit"](t)),
+                                float(pred["period"]), n)
+    params_new = prob.set_lens_param(prob.params, float(pred["p"]))
+    po_prob = periodic_orbit_problem(prob, disc, X0, params=params_new,
+                                     use_cop=True, floquet="coll")
+    cpo = _po_contparams(bk.ContinuationPar(
+        ds=0.01, dsmax=0.02, dsmin=1e-6, p_min=0.29, p_max=0.75,
+        max_steps=warmup + timed + 2, nev=8, detect_bifurcation=2,
+        tol_stability=1e-3, save_eigenvectors=False,
+        newton_options=bk.NewtonPar(
+            tol=1e-7, max_iterations=20, linsolver=COPLS(),
+            eigsolver=bk.FloquetColl())))
+    alg = bk.PALC(bls=COPBLS())
+    it = ContIterable(po_prob, alg, cpo, kind="PeriodicOrbitCont")
+    state = it.init_state(x0=X0)
+    for _ in range(warmup):
+        it.iterate(state)
+    assert state.converged
+    t0 = time.perf_counter()
+    for _ in range(timed):
+        it.iterate(state)
+    dt = time.perf_counter() - t0
+    assert state.converged
+    return timed / dt
+
+
+def main_po():
+    if os.environ.get("BENCH_CPU_LEG") == "1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        sps = po_steps_per_s(warmup=1, timed=2)
+        print(json.dumps({"cpu_steps_per_s": sps}))
+        return
+
+    value = po_steps_per_s()
+    vs_baseline = None
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env={**os.environ, "BENCH_CPU_LEG": "1"},
+            capture_output=True, text=True, timeout=3600)
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                vs_baseline = value / json.loads(line)["cpu_steps_per_s"]
+                break
+    except Exception:
+        pass
+    nsite = int(os.environ.get("BENCH_PO_NSITE", "128"))
+    n_unknown = (30 * 4 + 1) * 2 * nsite + 1
+    print(json.dumps({
+        "metric": (f"brusselator-1d PO continuation, collocation+COP+"
+                   f"FloquetColl ({n_unknown} unknowns)"),
+        "value": round(value, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else 1.0,
+    }))
+
+
+# ---------------------------------------------------------------------------
 # spmv: the round-1 kernel metric
 # ---------------------------------------------------------------------------
 

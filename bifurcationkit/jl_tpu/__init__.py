@@ -41,6 +41,11 @@ from .codim2 import (bt_normal_form, bt_predictors, continuation_fold,
                      get_normal_form_codim2, newton_bt, newton_fold,
                      newton_hopf, refine_gh)
 from .codim2.zh_hh import hh_normal_form, zh_normal_form
+from .codim2.unfolding import (bautin_unfolding, bt_unfolding,
+                               hh_unfolding, predictor_fold_po,
+                               predictor_homoclinic_bt, predictor_ns_hh,
+                               predictor_ns_zh, switch_codim2_po,
+                               zh_unfolding)
 from .periodic import (Collocation, Flow, FloquetEig, PoincareShooting,
                        Shooting, Trapeze, continuation_hopf_po,
                        continuation_po, newton_po, orbit_from_branch,

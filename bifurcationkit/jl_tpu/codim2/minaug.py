@@ -343,7 +343,11 @@ def _fold_codim2_event(maprob):
     unravel = maprob.unravel_inner
 
     def cond(it, state):
-        par = it.current_params
+        # inject the CURRENT curve parameter p2: current_params holds the
+        # base pytree only (the engine sets the lens value when evaluating
+        # F) — a stale p2 freezes the test function on models where p2
+        # enters it directly
+        par = it.prob.set_lens_param(it.current_params, float(state.p))
         X = ravel(state.z.u)[0]
         x, p1 = X[:n], X[n]
         params = inner_lens.set(par["_inner"], p1)
@@ -384,7 +388,8 @@ def _hopf_codim2_event(maprob, with_gh: bool = True):
         omega = float(X[n + 1])
         vals = [omega]
         if with_gh:
-            par = it.current_params
+            # current curve parameter p2 must be set (see _fold_codim2_event)
+            par = it.prob.set_lens_param(it.current_params, float(state.p))
             vals.append(float(l1_fn(X, par["_inner"])))
         return tuple(vals)
 

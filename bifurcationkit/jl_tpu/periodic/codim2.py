@@ -178,10 +178,22 @@ def _po_ma_problem_functional(po_prob, lens2, kind: str):
     def _sigma(X, p1, theta, par):
         po_par = _po_par(par, p1)
         blocks = collocation_block_jacobian(disc, prob_vf, X, po_par)
+        if kind == "fold":
+            # generic fold MA on the FULL discretized problem (ref
+            # "Fold-of-PO via generic Fold MA + COP",
+            # periodicorbit/codim2): sigma from the bordered full-system
+            # jacobian [dG a; b^H 0][v; sigma] = [0; 1] -> sigma =
+            # -1/<b, dG^{-1} a>.  The Floquet-BC operator at s = +1 is
+            # NOT usable here: it is singular through the TRIVIAL phase
+            # multiplier on every orbit, which would make sigma vanish
+            # identically along the orbit family.
+            from .cop import cop_solve
+
+            w = cop_solve(blocks, par["_a"])
+            sigma = -1.0 / jnp.dot(par["_b"], w)
+            return sigma, jnp.zeros_like(sigma), w, jnp.zeros_like(w)
         if kind == "pd":
             s_re, s_im = -1.0, 0.0
-        elif kind == "fold":
-            s_re, s_im = 1.0, 0.0
         else:
             s_re, s_im = jnp.cos(theta), jnp.sin(theta)
         sr, si, vr, vi = cop_bc_sigma(blocks, par["_a"], par["_b"],
@@ -287,13 +299,20 @@ def _po_ma_problem(po_prob, lens2, kind: str):
         po_par = {k: v for k, v in par.items() if k not in ("_a", "_b")}
         po_par["_inner"] = inner_lens.set(par["_inner"], p1)
         R = disc.residual(prob_vf, X, po_par)
+        if kind == "fold":
+            # generic fold MA on the FULL discretized problem: (M - I)
+            # is singular through the trivial phase multiplier on EVERY
+            # orbit, so the monodromy sigma would vanish identically —
+            # use the bordered full-system jacobian instead (see the
+            # functional formulation and ref periodicorbit/codim2)
+            dG = jax.jacfwd(
+                lambda Xv: disc.residual(prob_vf, Xv, po_par))(X)
+            _, sigma = _border_solve(dG, par["_a"], par["_b"])
+            return jnp.concatenate([R, jnp.real(sigma)[None]])
         M = disc.monodromy(prob_vf, X, po_par)
         if kind == "pd":
             shift = 1.0      # M + I singular at mu = -1
             _, sigma = _border_solve(M, par["_a"], par["_b"], shift=shift)
-            return jnp.concatenate([R, jnp.real(sigma)[None]])
-        if kind == "fold":
-            _, sigma = _border_solve(M, par["_a"], par["_b"], shift=-1.0)
             return jnp.concatenate([R, jnp.real(sigma)[None]])
         # ns
         _, sigma = _border_solve(M, par["_a"], par["_b"],
@@ -324,15 +343,16 @@ def _po_ma_problem(po_prob, lens2, kind: str):
         X, p1, theta = split(Y)
         po_par = {k: v for k, v in par.items() if k not in ("_a", "_b")}
         po_par["_inner"] = inner_lens.set(par["_inner"], p1)
-        M = disc.monodromy(prob_vf, X, po_par)
-        if kind == "pd":
-            shift = 1.0
-        elif kind == "fold":
-            shift = -1.0
+        if kind == "fold":
+            dG = jax.jacfwd(
+                lambda Xv: disc.residual(prob_vf, Xv, po_par))(X)
+            v, _ = _border_solve(dG, par["_a"], par["_b"])
+            w, _ = _adjoint_border_solve(dG, par["_a"], par["_b"])
         else:
-            shift = -jnp.exp(1j * theta)
-        v, _ = _border_solve(M, par["_a"], par["_b"], shift)
-        w, _ = _adjoint_border_solve(M, par["_a"], par["_b"], shift)
+            M = disc.monodromy(prob_vf, X, po_par)
+            shift = 1.0 if kind == "pd" else -jnp.exp(1j * theta)
+            v, _ = _border_solve(M, par["_a"], par["_b"], shift)
+            w, _ = _adjoint_border_solve(M, par["_a"], par["_b"], shift)
         new = dict(par)
         new["_b"] = (v / jnp.linalg.norm(v)).astype(par["_b"].dtype)
         new["_a"] = (w / jnp.linalg.norm(w)).astype(par["_a"].dtype)
@@ -433,7 +453,10 @@ def _po_codim3_event(po_prob, split, kind: str, flow_steps: int,
         if (compute_nf and not use_iooss) else None
 
     def _point(it, state):
-        par = it.current_params
+        # inject the CURRENT curve parameter p2 (current_params holds the
+        # base pytree; stale p2 would freeze the codim-3 test functions on
+        # models where p2 enters them directly)
+        par = it.prob.set_lens_param(it.current_params, float(state.p))
         X, p1, theta = split(state.z.u)
         po_par = {k: v for k, v in par.items() if k not in ("_a", "_b")}
         po_par["_inner"] = inner_lens.set(par["_inner"], p1)
@@ -533,14 +556,25 @@ def _po_codim3_event(po_prob, split, kind: str, flow_steps: int,
 
 
 def _continuation_po_codim2(br_po, ind_bif, lens2, contparams, kind,
-                            alg=None, detect_codim3: int = 1,
-                            compute_nf_events: bool = True,
-                            nf_flow_steps: int = 120,
-                            formulation: str = None, **kwargs):
+                            **kwargs):
     gamma = br_po.gamma if isinstance(br_po, Branch) else br_po
     po_prob = gamma.prob
+    start = _start_data(br_po, ind_bif, kind)
+    return _po_codim2_from_data(po_prob, start, lens2, contparams, kind,
+                                bp=gamma.specialpoint[ind_bif], **kwargs)
+
+
+def _po_codim2_from_data(po_prob, start, lens2, contparams, kind,
+                         bp=None, alg=None, detect_codim3: int = 1,
+                         compute_nf_events: bool = True,
+                         nf_flow_steps: int = 120,
+                         formulation: str = None, **kwargs):
+    """Core PO codim-2 MA continuation from explicit start data — used by
+    the on-branch starters (`continuation_pd/ns/fold_po`) and by the
+    codim-2 -> PO-curve switch (`codim2.unfolding.switch_codim2_po`,
+    ref src/codim2/NormalForms.jl:935,1283,1536-1574)."""
     alg = alg or PALC()
-    X, p1, theta, zeta, zeta_ad, par = _start_data(br_po, ind_bif, kind)
+    X, p1, theta, zeta, zeta_ad, par = start
     # the functional (COP-condensed) formulation is the default for
     # collocation — sigma on the full discretized problem, no dense
     # monodromy in the corrector (ref MinAugPD.jl:35-257); shooting and
@@ -563,14 +597,40 @@ def _continuation_po_codim2(br_po, ind_bif, lens2, contparams, kind,
     else:
         Y0 = jnp.concatenate([X, jnp.asarray(p1)[None]])
 
-    if functional:
+    if kind == "fold":
+        # generic-fold-MA borders: approximate null pair of the FULL
+        # discretized jacobian dG (near the fold dG is near-singular, so
+        # one inverse iteration from a generic start isolates the null
+        # direction).  The Floquet-mode borders are NOT usable: the
+        # s = +1 boundary-closed operator is singular through the trivial
+        # phase multiplier on every orbit.
+        disc = po_prob.disc
+        prob_vf = po_prob.prob_vf
+        po_par = {k: v for k, v in par.items() if k not in ("_a", "_b")}
+        r = jax.random.normal(jax.random.PRNGKey(17), X.shape, X.dtype)
+        r = r / jnp.linalg.norm(r)
+        if functional:
+            from .cop import collocation_block_jacobian as _cbj2
+            from .cop import cop_solve
+
+            blocks0 = _cbj2(disc, prob_vf, X, po_par)
+            w = cop_solve(blocks0, r)
+            a = r
+            b = w / jnp.linalg.norm(w)
+        else:
+            dG = jax.jacfwd(
+                lambda Xv: disc.residual(prob_vf, Xv, po_par))(X)
+            dGn = np.asarray(dG)
+            wr = np.linalg.solve(dGn, np.asarray(r))
+            wl = np.linalg.solve(dGn.T, np.asarray(r))
+            a = jnp.asarray(wl / np.linalg.norm(wl))
+            b = jnp.asarray(wr / np.linalg.norm(wr))
+    elif functional:
         disc = po_prob.disc
         prob_vf = po_prob.prob_vf
         n = po_prob.n_vf
         if kind == "pd":
             s_re, s_im = -1.0, 0.0
-        elif kind == "fold":
-            s_re, s_im = 1.0, 0.0
         else:
             s_re, s_im = float(np.cos(theta)), float(np.sin(theta))
         a, b = _floquet_mode_border(disc, prob_vf, X, par, zeta,
@@ -625,7 +685,7 @@ def _continuation_po_codim2(br_po, ind_bif, lens2, contparams, kind,
     for sp2 in gamma2.specialpoint:
         if sp2.type in conv:
             sp2.type = conv[sp2.type]
-    return Branch(gamma=gamma2, bp=gamma.specialpoint[ind_bif])
+    return Branch(gamma=gamma2, bp=bp)
 
 
 def po_codim2_test_values(br_pd_or_ns, idx: int = -1):
