@@ -884,5 +884,66 @@ def switch_codim2_po(br_codim2, ind_bif: int, contparams, disc=None,
              jnp.asarray(zeta_ad), par_po)
     # lens2 is a Lens over the inner vf params — the PO-MA machinery
     # accepts it directly
-    return _po_codim2_from_data(po_prob, start, lens2, contparams, kind,
-                                bp=sp, **kwargs)
+    try:
+        out = _po_codim2_from_data(po_prob, start, lens2, contparams, kind,
+                                   bp=sp, **kwargs)
+        if kind == "ns":
+            # the NS sigma vanishes SPURIOUSLY at theta = 0 (mod 2 pi)
+            # through the trivial +1 multiplier; a corrector that escaped
+            # to that basin produces a fake "NS curve" riding the plain
+            # orbit family — detect and fall back
+            thetas = np.asarray(out.gamma._table().get("theta", []))
+            if len(thetas) and np.min(np.abs(np.sin(thetas / 2.0))) < 0.02:
+                raise RuntimeError(
+                    "NS MA collapsed onto the trivial multiplier "
+                    f"(theta -> {thetas[np.argmin(np.abs(np.sin(thetas/2)))]:.4f})")
+        return out
+    except RuntimeError as err:
+        if kind != "ns":
+            raise
+        # the direct MA start can sit too close to the ZH/HH degeneracy
+        # (the MA jacobian condition grows like 1/eps there and the
+        # predictor error makes the first corrector non-monotone).  Fall
+        # back to the reference's on-branch flow: continue the ORBIT
+        # branch in p1 through the predicted point with Floquet detection,
+        # then start the NS MA from the DETECTED crossing
+        # (ref the continuation(br_po, ind, lens2) dispatch).
+        if verbose:
+            print(f"switch_codim2_po: direct MA start failed ({err}); "
+                  "falling back to on-branch NS detection")
+        from ..periodic.codim2 import continuation_ns
+        from ..periodic.floquet import FloquetColl
+        from ..periodic.orbits import continuation_po
+
+        # sweep axis 1 (p1 = the vf's own lens); if the NS level set is
+        # near-tangent to that axis (it can be, e.g. Lorenz-84), sweep
+        # axis 2 instead and start the MA with the parameter roles swapped
+        attempts = ((vf, pred["p1"], lens2),
+                    (vf.re_make(lens=lens2), pred["p2"], lens1))
+        for vf_c, p_c, lens_curve in attempts:
+            cpo = contparams.replace(
+                ds=abs(contparams.ds), dsmax=max(contparams.dsmax, 0.01),
+                p_min=p_c - 0.25, p_max=p_c + 0.25,
+                max_steps=20, detect_bifurcation=3, detect_event=0,
+                n_inversion=4, tol_stability=1e-5,
+                newton_options=contparams.newton_options.replace(
+                    linesearch=False, eigsolver=FloquetColl()))
+            br_po = continuation_po(vf_c, disc, Xs, cpo,
+                                    use_cop=isinstance(disc, Collocation),
+                                    floquet="coll", bothside=True)
+            ns_pts = [i for i, s2 in enumerate(br_po.gamma.specialpoint)
+                      if s2.type == "ns"]
+            if ns_pts:
+                if verbose:
+                    print("switch_codim2_po: NS detected on the orbit "
+                          "branch at "
+                          f"{br_po.gamma.specialpoint[ns_pts[0]].param:.6g}"
+                          f" (sweep lens {as_lens(vf_c.lens).name})")
+                out = continuation_ns(br_po, ns_pts[0], lens_curve,
+                                      contparams, **kwargs)
+                out.bp = sp
+                return out
+        raise RuntimeError(
+            "switch_codim2_po: no NS crossing detected on the orbit "
+            "branch around the predicted point (both parameter sweeps)"
+        ) from err
