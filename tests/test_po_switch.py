@@ -228,3 +228,104 @@ def test_switch_zh_to_ns_curve():
     cplx = mult[np.abs(mult.imag) > 1e-6]
     assert len(cplx) >= 2
     assert np.min(np.abs(np.abs(cplx) - 1.0)) < 1e-6
+
+
+@pytest.mark.slow
+def test_switch_zh_to_ns_lorenz84():
+    """VERDICT r2 'done' criterion: NS curve started from the Lorenz-84 ZH
+    point, tracking its defining property (|mu| = 1 at angle theta) over
+    >= 5 steps.  The direct MA start collapses onto the trivial multiplier
+    here (theta -> 2 pi); the spurious-theta guard must catch it and the
+    on-branch fallback (two-axis Floquet-detection sweep) must deliver the
+    genuine curve."""
+    from bifurcationkit.jl_tpu import models
+    from bifurcationkit.jl_tpu.periodic.codim2 import po_codim2_test_values
+
+    prob = models.lorenz84()
+    cp = bk.ContinuationPar(ds=0.01, dsmax=0.04, dsmin=1e-6, p_min=-1.0,
+                            p_max=5.0, max_steps=300, detect_bifurcation=3,
+                            nev=4, n_inversion=6,
+                            newton_options=bk.NewtonPar(tol=1e-10,
+                                                        max_iterations=30))
+    br = bk.continuation(prob, bk.PALC(), cp)
+    i = br.specialpoint.index(br.get_special_points("hopf")[0])
+    cp2 = bk.ContinuationPar(ds=0.01, dsmax=0.03, dsmin=1e-6, p_min=0.0001,
+                             p_max=3.0, max_steps=100, detect_bifurcation=0,
+                             detect_fold=False,
+                             newton_options=bk.NewtonPar(tol=1e-9,
+                                                         max_iterations=30))
+    brh = bk.continuation_hopf(br, i, "G", cp2, detect_codim2_bifurcation=2)
+    zhs = [sp for sp in brh.gamma.specialpoint if sp.type == "zh"]
+    assert zhs
+    idx = brh.gamma.specialpoint.index(zhs[0])
+    cp3 = bk.ContinuationPar(ds=-0.003, dsmax=0.01, dsmin=1e-9, p_min=0.5,
+                             p_max=2.5, max_steps=8, detect_bifurcation=0,
+                             detect_event=0,
+                             newton_options=bk.NewtonPar(tol=1e-8,
+                                                         max_iterations=40))
+    br_ns = bk.switch_codim2_po(brh, idx, cp3,
+                                disc=bk.Collocation(Ntst=40, m=4),
+                                eps=0.15, detect_codim3=0)
+    tbl = br_ns.gamma._table()
+    thetas = np.asarray(tbl["theta"])
+    assert len(thetas) >= 5
+    # genuine NS: theta bounded away from the trivial multiplier
+    assert np.min(np.abs(np.sin(thetas / 2.0))) > 0.02
+    tv = po_codim2_test_values(br_ns, idx=-1)
+    cplx = tv["multipliers"][np.abs(tv["multipliers"].imag) > 1e-6]
+    assert np.min(np.abs(np.abs(cplx) - 1.0)) < 1e-8
+
+
+@pytest.mark.slow
+def test_switch_gh_to_fold_po_co_model():
+    """VERDICT r2 'done' criterion: fold-of-PO curve from the CO-model GH
+    point, tracking the fold-of-orbits property (double +1 multiplier)
+    over >= 5 steps."""
+    from bifurcationkit.jl_tpu import models
+    from bifurcationkit.jl_tpu.linalg.eig import dense_eig
+    from bifurcationkit.jl_tpu.periodic.orbits import periodic_orbit_problem
+
+    prob = models.co_oxidation()
+    cp = bk.ContinuationPar(ds=0.002, dsmax=0.01, dsmin=1e-6, p_min=0.5,
+                            p_max=2.3, max_steps=100, detect_bifurcation=3,
+                            nev=3, n_inversion=6, max_bisection_steps=25,
+                            newton_options=bk.NewtonPar(tol=1e-10))
+    br = bk.continuation(prob, bk.PALC(), cp, bothside=True)
+    idx = br.specialpoint.index(br.get_special_points("hopf")[0])
+    cp2 = bk.ContinuationPar(ds=-0.0001, dsmax=0.02, dsmin=1e-6, p_min=0.0,
+                             p_max=2.8, max_steps=150, detect_bifurcation=0,
+                             detect_fold=False,
+                             newton_options=bk.NewtonPar(tol=1e-9,
+                                                         max_iterations=30))
+    brh = bk.continuation_hopf(br, idx, "k", cp2,
+                               detect_codim2_bifurcation=2, bothside=True)
+    ghs = [sp for sp in brh.gamma.specialpoint if sp.type == "gh"]
+    # the reference's gold GH region: q2 ~ 0.896-0.924 at k ~ 0.23-0.31
+    # (ref COModel.jl:100-107); the event localization (fixed in r3 to read
+    # the CURRENT curve parameter) must find it
+    assert ghs
+    idx2 = brh.gamma.specialpoint.index(ghs[0])
+    cp3 = bk.ContinuationPar(ds=0.0005, dsmax=0.002, dsmin=1e-9, p_min=0.25,
+                             p_max=0.4, max_steps=8, detect_bifurcation=0,
+                             detect_event=0,
+                             newton_options=bk.NewtonPar(tol=1e-8,
+                                                         max_iterations=40))
+    disc = bk.Collocation(Ntst=60, m=4)
+    br_f = bk.switch_codim2_po(brh, idx2, cp3, disc=disc, eps=0.004,
+                               detect_codim3=0)
+    g = br_f.gamma
+    assert len(g.sol) >= 5
+    # defining property at the last curve point: the +1 multiplier is
+    # DOUBLE (trivial + fold-of-cycles) — both within 1e-4 of +1
+    nX = (60 * 4 + 1) * 3 + 1
+    Y = np.asarray(g.sol[-1]["x"])
+    p2v = float(g.sol[-1]["p"])
+    X = jnp.asarray(Y[:nX])
+    parv = dict(prob.params)
+    parv["q2"] = float(Y[nX])
+    parv["k"] = p2v
+    vfv = prob.re_make(params=parv)
+    pov = periodic_orbit_problem(vfv, disc, X)
+    mult = np.asarray(dense_eig(disc.monodromy(vfv, X, pov.params))[0])
+    near_one = np.sort(np.abs(mult - 1.0))
+    assert near_one[0] < 1e-4 and near_one[1] < 1e-4
