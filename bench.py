@@ -285,7 +285,11 @@ def cuda_analog_steps_per_s(warmup=2, timed=4, N=512):
     else:
         ls = bk.GMRES(restart=40, maxiter=300, rtol=1e-9,
                       precond=prob.spectral_precond)
-    sol = bk.newton(prob, bk.NewtonPar(tol=1e-8, max_iterations=25,
+    # tolerance at the TPU f64-emulation floor: ||A|| ~ 4e4 and 262k dof
+    # put the 2-norm residual floor at ~1e-7 (RMS ~ 2e-10/point — f64
+    # grade); 1e-8 absolute would chase noise below the operator's
+    # representable residual
+    sol = bk.newton(prob, bk.NewtonPar(tol=5e-7, max_iterations=25,
                                        linsolver=ls))
     assert bool(sol.converged)
     eig = bk.LOBPCGEig(
@@ -299,7 +303,7 @@ def cuda_analog_steps_per_s(warmup=2, timed=4, N=512):
                             nev=11, detect_bifurcation=3, detect_fold=True,
                             save_eigenvectors=False,
                             newton_options=bk.NewtonPar(
-                                tol=1e-7, max_iterations=15, linsolver=ls,
+                                tol=1e-6, max_iterations=15, linsolver=ls,
                                 eigsolver=eig))
     it = ContIterable(prob.re_make(u0=sol.u), bk.PALC(), cp)
     state = it.init_state()
@@ -536,5 +540,9 @@ def main_spmv():
 if __name__ == "__main__":
     if KIND == "spmv":
         main_spmv()
+    elif KIND == "cuda_analog":
+        main_cuda_analog()
+    elif KIND == "po":
+        main_po()
     else:
         main_flagship()

@@ -114,6 +114,57 @@ class _FlatProblem:
         im = self.unravel(jnp.imag(v))
         return jax.tree_util.tree_map(lambda a, b: a + 1j * b, re, im)
 
+    # ---- host-side variants: complex splits in NUMPY, device work real ----
+    # The axon TPU backend rejects complex linalg AND complex device->host
+    # transfers; the normal-form layer is point-wise host mathematics, so
+    # these keep every complex number on the host and send only REAL
+    # directions through the device jets.
+
+    def _d2F_real_np(self, a, b):
+        out = self.prob.d2F(self.unravel(self.flat0), self.parbif,
+                            self.unravel(jnp.asarray(a)),
+                            self.unravel(jnp.asarray(b)))
+        return np.asarray(ravel(out)[0])
+
+    def d2F_host(self, v1, v2):
+        v1, v2 = np.asarray(v1), np.asarray(v2)
+        if not (np.iscomplexobj(v1) or np.iscomplexobj(v2)):
+            return self._d2F_real_np(v1, v2)
+        rr = self._d2F_real_np(v1.real, v2.real)
+        ii = self._d2F_real_np(v1.imag, v2.imag)
+        ri = self._d2F_real_np(v1.real, v2.imag)
+        ir = self._d2F_real_np(v1.imag, v2.real)
+        return (rr - ii) + 1j * (ri + ir)
+
+    def _d3F_real_np(self, a, b, c):
+        out = self.prob.d3F(self.unravel(self.flat0), self.parbif,
+                            self.unravel(jnp.asarray(a)),
+                            self.unravel(jnp.asarray(b)),
+                            self.unravel(jnp.asarray(c)))
+        return np.asarray(ravel(out)[0])
+
+    def d3F_host(self, v1, v2, v3):
+        args = [np.asarray(v) for v in (v1, v2, v3)]
+        if not any(np.iscomplexobj(v) for v in args):
+            return self._d3F_real_np(*args)
+        out = 0.0 + 0.0j
+        for c1 in (0, 1):
+            for c2 in (0, 1):
+                for c3 in (0, 1):
+                    parts = [a.imag if c else a.real
+                             for c, a in zip((c1, c2, c3), args)]
+                    out = out + (1j) ** (c1 + c2 + c3) \
+                        * self._d3F_real_np(*parts)
+        return out
+
+    def dFdp_dir_host(self, v, p):
+        v = np.asarray(v)
+        if np.iscomplexobj(v):
+            return (np.asarray(self.dFdp_dir(jnp.asarray(v.real), p))
+                    + 1j * np.asarray(self.dFdp_dir(jnp.asarray(v.imag),
+                                                    p)))
+        return np.asarray(self.dFdp_dir(jnp.asarray(v), p))
+
     def dFdp_at(self, p):
         """Exact d/dp of the residual through the lens at x0."""
         def f(pp):
@@ -288,52 +339,54 @@ def hopf_normal_form_point(prob, x, p, omega, zeta=None, tau=None,
     for branch special points and for points ON a codim-2 Hopf curve
     (ref hopf_normal_form, src/NormalForms.jl:987-1205; the from-curve use is
     continuation(br_hopf, ind, ...) at src/periodicorbit/PeriodicOrbits.jl)."""
+    # every complex operation below runs in NUMPY on the host: the axon
+    # TPU backend has no complex linalg and cannot transfer complex
+    # arrays; only REAL directions go through the device jets
     parbif = prob.set_lens_param(prob.params, p)
     fp = _FlatProblem(prob, x, parbif)
-    L = fp.jacobian()
+    L = np.asarray(fp.jacobian(), dtype=np.float64)
 
     lam = 1j * omega
     if zeta is None:
-        vals, vecs = dense_eig(L)
-        vals_np = np.asarray(vals)
+        vals_np, vecs_np = np.linalg.eig(L)
         ind = int(np.argmin(np.abs(vals_np - lam)))
         lam_found = vals_np[ind]
-        zeta = np.asarray(vecs)[:, ind]
+        zeta = vecs_np[:, ind]
         if np.imag(lam_found) < 0:
             zeta = np.conj(zeta)
-    zeta = jnp.asarray(zeta)
-    zeta = zeta / jnp.linalg.norm(zeta)
+    zeta = np.asarray(zeta)
+    zeta = zeta / np.linalg.norm(zeta)
 
-    zeta_ad, lam_ad = get_adjoint_basis(L.T, np.conj(lam))
-    zeta_ad = jnp.asarray(zeta_ad)
+    valsT, vecsT = np.linalg.eig(L.T)
+    zeta_ad = vecsT[:, int(np.argmin(np.abs(valsT - np.conj(lam))))]
     # normalize: dot(zeta, zeta_ad) = sum(conj(zeta) zeta_ad) = 1
-    zeta_ad = zeta_ad / _inner(zeta, zeta_ad)
+    zeta_ad = zeta_ad / np.sum(np.conj(zeta) * zeta_ad)
 
-    czeta = jnp.conj(zeta)
-    ls = lambda A, b: jnp.linalg.solve(A, b)
+    czeta = np.conj(zeta)
+    ls = np.linalg.solve
 
-    R2 = lambda a, b: fp.d2F(a, b) / 2.0
-    R3 = lambda a, b, c: fp.d3F(a, b, c) / 6.0
+    R2 = lambda a, b: fp.d2F_host(a, b) / 2.0
+    R3 = lambda a, b, c: fp.d3F_host(a, b, c) / 6.0
 
-    R01 = fp.dFdp_at(p)
+    R01 = np.asarray(fp.dFdp_at(p))
     Psi001 = ls(L, -R01)
 
-    av = fp.dFdp_dir(zeta, p) + 2.0 * R2(zeta, Psi001)
-    a = _inner(av, zeta_ad)
+    av = fp.dFdp_dir_host(zeta, p) + 2.0 * R2(zeta, Psi001)
+    a = complex(np.sum(np.conj(av) * zeta_ad))
 
     # (2 i omega - L) Psi200 = R20(zeta, zeta)
     n = fp.n
     R20 = R2(zeta, zeta)
-    A200 = 2j * omega * jnp.eye(n) - L.astype(jnp.complex128)
-    Psi200 = ls(A200, R20.astype(jnp.complex128))
+    A200 = 2j * omega * np.eye(n) - L.astype(np.complex128)
+    Psi200 = ls(A200, R20.astype(np.complex128))
 
     R20b = 2.0 * R2(zeta, czeta)
     # -L Psi110 = 2 R2(zeta, conj zeta); rhs is real
-    Psi110 = ls(-L.astype(jnp.complex128), R20b.astype(jnp.complex128))
+    Psi110 = ls(-L.astype(np.complex128), R20b.astype(np.complex128))
 
     bv = 2.0 * R2(zeta, Psi110) + 2.0 * R2(czeta, Psi200) \
         + 3.0 * R3(zeta, zeta, czeta)
-    b = _inner(bv, zeta_ad)
+    b = complex(np.sum(np.conj(bv) * zeta_ad))
 
     if verbose:
         print(f"Hopf normal form: a={a:.6g}, b={b:.6g} "
@@ -431,10 +484,14 @@ def hopf_predictor(hp: Hopf, ds: float, verbose: bool = False,
     Psi200 = nf["Psi200"]
 
     def orbit(t):
+        # complex combination in numpy (host): complex device arrays are
+        # unsupported on the axon TPU backend
         A = amp * np.exp(1j * t)
-        return (hp.x0 + 2 * jnp.real(hp.zeta * A) + dsnew * Psi001
-                + abs(A) ** 2 * jnp.real(Psi110)
-                + 2 * jnp.real(A ** 2 * Psi200))
+        return (np.asarray(hp.x0)
+                + 2 * np.real(np.asarray(hp.zeta) * A)
+                + dsnew * np.real(np.asarray(Psi001))
+                + abs(A) ** 2 * np.real(np.asarray(Psi110))
+                + 2 * np.real(A ** 2 * np.asarray(Psi200)))
 
     return {"orbit": orbit, "amp": 2 * amp, "omega": omega,
             "period": abs(2 * np.pi / omega), "p": pnew,

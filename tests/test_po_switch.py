@@ -329,3 +329,60 @@ def test_switch_gh_to_fold_po_co_model():
     mult = np.asarray(dense_eig(disc.monodromy(vfv, X, pov.params))[0])
     near_one = np.sort(np.abs(mult - 1.0))
     assert near_one[0] < 1e-4 and near_one[1] < 1e-4
+
+
+@pytest.mark.slow
+def test_switch_hh_to_ns_curve():
+    """HH -> NS (torus) curve of the z1 orbit family on the coupled
+    Stuart-Landau pair: the z1-cycle's transverse (z2) Floquet pair sits on
+    the unit circle along a curve approaching b2 + 0.4 b1 = 0 at onset;
+    the switch must deliver >= 5 MA steps with |mu| = 1."""
+    from bifurcationkit.jl_tpu.periodic.codim2 import po_codim2_test_values
+
+    w1, w2 = 0.9, 1.7
+
+    def F(u, par):
+        z1 = u[0] + 1j * u[1]
+        z2 = u[2] + 1j * u[3]
+        ua1 = u[0] ** 2 + u[1] ** 2
+        ua2 = u[2] ** 2 + u[3] ** 2
+        t1 = ((par["b1"] + 1j * w1) * z1 - 0.5 * z1 * ua1 - 1.0 * z1 * ua2
+              + 0.3 * z1 * z2 + 0.1 * z2 * jnp.conj(z1))
+        t2 = ((par["b2"] + 0.4 * par["b1"] + 1j * w2) * z2 - 2.0 * z2 * ua1
+              - 1.5 * z2 * ua2 + 0.2 * z1 * z1 + 0.15 * z1 * jnp.conj(z2))
+        return jnp.array([jnp.real(t1), jnp.imag(t1),
+                          jnp.real(t2), jnp.imag(t2)])
+
+    prob = bk.BifurcationProblem(F, u0=jnp.zeros(4),
+                                 params={"b1": -0.3, "b2": -0.2}, lens="b1")
+    cp = bk.ContinuationPar(ds=0.02, dsmax=0.05, dsmin=1e-6, p_min=-0.5,
+                            p_max=0.4, max_steps=80, detect_bifurcation=3,
+                            nev=4, n_inversion=6,
+                            newton_options=bk.NewtonPar(tol=1e-10))
+    br = bk.continuation(prob, bk.PALC(), cp)
+    i = br.specialpoint.index(br.get_special_points("hopf")[0])
+    cp2 = bk.ContinuationPar(ds=0.02, dsmax=0.05, dsmin=1e-6, p_min=-0.5,
+                             p_max=0.5, max_steps=60, detect_bifurcation=3,
+                             nev=4, n_inversion=4, detect_fold=False,
+                             tol_stability=1e-6,
+                             newton_options=bk.NewtonPar(tol=1e-10,
+                                                         max_iterations=25))
+    brh = bk.continuation_hopf(br, i, "b2", cp2, detect_codim2_bifurcation=2)
+    hhs = [s for s in brh.gamma.specialpoint if s.type == "hh"]
+    assert hhs
+    idx = brh.gamma.specialpoint.index(hhs[0])
+    cp3 = bk.ContinuationPar(ds=0.002, dsmax=0.01, dsmin=1e-9, p_min=-0.3,
+                             p_max=0.3, max_steps=8, detect_bifurcation=0,
+                             detect_event=0,
+                             newton_options=bk.NewtonPar(tol=1e-8,
+                                                         max_iterations=40))
+    br_ns = bk.switch_codim2_po(brh, idx, cp3,
+                                disc=bk.Collocation(Ntst=30, m=4),
+                                eps=0.12, which=1, detect_codim3=0)
+    tbl = br_ns.gamma._table()
+    thetas = np.asarray(tbl["theta"])
+    assert len(thetas) >= 5
+    assert np.min(np.abs(np.sin(thetas / 2.0))) > 0.02
+    tv = po_codim2_test_values(br_ns, idx=-1)
+    cplx = tv["multipliers"][np.abs(tv["multipliers"].imag) > 1e-6]
+    assert np.min(np.abs(np.abs(cplx) - 1.0)) < 1e-8
