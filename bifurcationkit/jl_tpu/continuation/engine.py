@@ -331,9 +331,12 @@ class ContIterable:
         return state
 
     def _can_fuse(self, state) -> bool:
-        """Fused single-dispatch step applies for plain PALC + Secant."""
+        """Fused single-dispatch step applies for plain PALC + Secant
+        (and not for two-stage eig problems, whose eigensolve must stay a
+        separate dispatch — see kernels.eig_two_stage)."""
         return (isinstance(self.alg, PALC)
-                and isinstance(getattr(self.alg, "tangent", None), Secant))
+                and isinstance(getattr(self.alg, "tangent", None), Secant)
+                and not getattr(self.prob, "eig_two_stage", False))
 
     # ------------------------------------------------------------------
     # predictors

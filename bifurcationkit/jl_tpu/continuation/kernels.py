@@ -367,6 +367,25 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
     def eig_seed0():
         return jnp.zeros(seed0_shape, seed_dtype)  # zero -> random start
 
+    # two-stage eig for structured-jacobian Floquet solvers at PDE scale:
+    # building the blocks (per-interval jacfwd) and eigensolving them
+    # (COP stage-1 + product + device Francis-QR) in ONE program blows the
+    # TPU compile helper (observed SIGABRT at 15k+ PO unknowns); two
+    # dispatches compile fine and cost one extra launch per sweep
+    eig_two_stage = bool(getattr(prob, "eig_two_stage", False)
+                         and eig_jac is not None)
+
+    @jax.jit
+    def _eig_blocks(u, p, params):
+        return eig_jac(u, set_p(params, p))
+
+    @jax.jit
+    def _eig_from_blocks(J, eig_seed):
+        vals, vecs, cv, _ = eigsolver(J, nev)
+        if not contparams.save_eigenvectors:
+            vecs = None
+        return vals, vecs, cv, eig_seed
+
     @jax.jit
     def _eig_device(u, p, params, eig_seed):
         par = set_p(params, p)
@@ -428,6 +447,12 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
         device-side warm-start seed for the next call."""
         if eig_seed is None or tuple(eig_seed.shape) != seed0_shape:
             eig_seed = eig_seed0()   # shape change = nev was auto-raised
+        if eig_two_stage:
+            J = _eig_blocks(u, p, params)
+            vals, vecs, cv, seed = _eig_from_blocks(J, eig_seed)
+            return (_join_cplx((jnp.real(vals), jnp.imag(vals))),
+                    _join_cplx((jnp.real(vecs), jnp.imag(vecs)))
+                    if vecs is not None else None, cv, seed)
         vals_p, vecs_p, cv, seed = _eig_kernel_split(u, p, params, eig_seed)
         return _join_cplx(vals_p), _join_cplx(vecs_p), cv, seed
 

@@ -121,9 +121,11 @@ class _FlatProblem:
     # directions through the device jets.
 
     def _d2F_real_np(self, a, b):
+        # directions may arrive from an f32 stability sweep — the jets
+        # need tangents at the primal dtype
         out = self.prob.d2F(self.unravel(self.flat0), self.parbif,
-                            self.unravel(jnp.asarray(a)),
-                            self.unravel(jnp.asarray(b)))
+                            self.unravel(jnp.asarray(a, self.flat0.dtype)),
+                            self.unravel(jnp.asarray(b, self.flat0.dtype)))
         return np.asarray(ravel(out)[0])
 
     def d2F_host(self, v1, v2):
@@ -138,9 +140,9 @@ class _FlatProblem:
 
     def _d3F_real_np(self, a, b, c):
         out = self.prob.d3F(self.unravel(self.flat0), self.parbif,
-                            self.unravel(jnp.asarray(a)),
-                            self.unravel(jnp.asarray(b)),
-                            self.unravel(jnp.asarray(c)))
+                            self.unravel(jnp.asarray(a, self.flat0.dtype)),
+                            self.unravel(jnp.asarray(b, self.flat0.dtype)),
+                            self.unravel(jnp.asarray(c, self.flat0.dtype)))
         return np.asarray(ravel(out)[0])
 
     def d3F_host(self, v1, v2, v3):
@@ -159,6 +161,7 @@ class _FlatProblem:
 
     def dFdp_dir_host(self, v, p):
         v = np.asarray(v)
+        v = v.astype(np.complex128 if np.iscomplexobj(v) else np.float64)
         if np.iscomplexobj(v):
             return (np.asarray(self.dFdp_dir(jnp.asarray(v.real), p))
                     + 1j * np.asarray(self.dFdp_dir(jnp.asarray(v.imag),
@@ -354,7 +357,7 @@ def hopf_normal_form_point(prob, x, p, omega, zeta=None, tau=None,
         zeta = vecs_np[:, ind]
         if np.imag(lam_found) < 0:
             zeta = np.conj(zeta)
-    zeta = np.asarray(zeta)
+    zeta = np.asarray(zeta, dtype=np.complex128)
     zeta = zeta / np.linalg.norm(zeta)
 
     valsT, vecsT = np.linalg.eig(L.T)

@@ -277,6 +277,8 @@ def _po_ma_problem_functional(po_prob, lens2, kind: str):
     object.__setattr__(maprob, "inner_prob", po_prob)
     object.__setattr__(maprob, "ma_kind", f"po-{kind}")
     object.__setattr__(maprob, "eig_jacobian", eig_jacobian)
+    # blocks + FloquetColl in one program blows the TPU compile helper
+    object.__setattr__(maprob, "eig_two_stage", True)
     return maprob, split
 
 

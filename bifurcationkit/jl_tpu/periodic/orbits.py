@@ -196,6 +196,11 @@ def periodic_orbit_problem(prob_vf: BifurcationProblem, disc, X0,
                                  jac=jac,
                                  record_from_solution=record, update=update)
     object.__setattr__(po_prob, "eig_jacobian", eig_jacobian)
+    # structured-jacobian Floquet solvers (COP blocks / interval maps):
+    # evaluate the blocks and the eigensolve in SEPARATE dispatches — one
+    # fused program blows the TPU compile helper at PDE scale
+    object.__setattr__(po_prob, "eig_two_stage",
+                       floquet in ("coll", "gev"))
     object.__setattr__(po_prob, "disc", disc)
     object.__setattr__(po_prob, "prob_vf", prob_vf)
     object.__setattr__(po_prob, "n_vf", n)
