@@ -95,7 +95,12 @@ class FloquetColl:
             chain, (jnp.eye(n, dtype=S.dtype),
                     jnp.zeros((), S.dtype)), S)
         mult, vecs = dense_eig(P)                  # scaled multipliers
-        expo = jnp.log(mult.astype(_complex_dtype())) + logs
+        cdt = _complex_dtype()
+        # add the renormalization log in the MATCHING real precision: c64
+        # + f64 would promote to complex128, which the TPU compiler
+        # rejects outright
+        rdt = jnp.float32 if cdt == jnp.complex64 else jnp.float64
+        expo = jnp.log(mult.astype(cdt)) + logs.astype(rdt)
         order = jnp.lexsort((-expo.imag, -expo.real))
         expo = expo[order]
         vecs = vecs[:, order]
