@@ -386,6 +386,18 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
             vecs = None
         return vals, vecs, cv, eig_seed
 
+    # device-reduce/host-eig split (FloquetColl): the device does the
+    # O(Ntst n^3) stage-1 + product reduction, the host the (n, n) dense
+    # eig in full f64 — cheaper than the sequential device Francis-QR on a
+    # latency-bound tunneled chip, and exact f64 instead of the TPU's
+    # complex64 cap
+    eig_host_split = callable(getattr(eigsolver, "device_reduce", None)) \
+        and callable(getattr(eigsolver, "host_eig", None))
+
+    @jax.jit
+    def _eig_reduce(J):
+        return eigsolver.device_reduce(J)
+
     @jax.jit
     def _eig_device(u, p, params, eig_seed):
         par = set_p(params, p)
@@ -449,6 +461,12 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
             eig_seed = eig_seed0()   # shape change = nev was auto-raised
         if eig_two_stage:
             J = _eig_blocks(u, p, params)
+            if eig_host_split:
+                reduced = _eig_reduce(J)
+                vals, vecs, cv, _ = eigsolver.host_eig(
+                    *[np.asarray(r) for r in reduced], nev,
+                    with_vectors=contparams.save_eigenvectors)
+                return vals, vecs, np.bool_(cv), eig_seed
             vals, vecs, cv, seed = _eig_from_blocks(J, eig_seed)
             return (_join_cplx((jnp.real(vals), jnp.imag(vals))),
                     _join_cplx((jnp.real(vecs), jnp.imag(vecs)))

@@ -79,7 +79,15 @@ class FloquetColl:
 
     is_floquet: bool = True
 
-    def __call__(self, blocks, nev: int):
+    def device_reduce(self, blocks):
+        """Stage-1 elimination + renormalized monodromy product, entirely
+        on device in REAL arithmetic.  Returns (P, logs): the max-norm
+        scaled product and the accumulated log of the scalings.  The small
+        (n, n) eigenproblem then runs host-side (`host_eig`) in full f64 —
+        the engine's two-stage eig path uses this split on every backend
+        (kernels.py::eig_kernel): it avoids both the sequential device
+        Francis-QR (latency-bound on a tunneled chip) and the complex64
+        precision cap of TPU device complex."""
         from .cop import cop_interval_maps
 
         S = cop_interval_maps(blocks)              # (Ntst, n, n)
@@ -94,6 +102,25 @@ class FloquetColl:
         (P, logs), _ = jax.lax.scan(
             chain, (jnp.eye(n, dtype=S.dtype),
                     jnp.zeros((), S.dtype)), S)
+        return P, logs
+
+    def host_eig(self, P, logs, nev: int, with_vectors: bool = True):
+        """Floquet exponents from the device-reduced (P, logs) — host numpy
+        f64 eig of the small real matrix (the same division of labor as the
+        Arnoldi Hessenberg eig: device does the O(Ntst n^3) reduction, host
+        does the O(n^3) small dense eig)."""
+        P = np.asarray(P)
+        w, v = np.linalg.eig(P)
+        expo = np.log(w.astype(np.complex128)) + float(logs)
+        order = np.lexsort((-expo.imag, -expo.real))
+        expo = expo[order]
+        v = v[:, order]
+        nev = min(nev, P.shape[0])
+        return (expo[:nev], v[:, :nev] if with_vectors else None,
+                True, 1)
+
+    def __call__(self, blocks, nev: int):
+        P, logs = self.device_reduce(blocks)
         mult, vecs = dense_eig(P)                  # scaled multipliers
         cdt = _complex_dtype()
         # add the renormalization log in the MATCHING real precision: c64
@@ -104,7 +131,7 @@ class FloquetColl:
         order = jnp.lexsort((-expo.imag, -expo.real))
         expo = expo[order]
         vecs = vecs[:, order]
-        nev = min(nev, n)
+        nev = min(nev, P.shape[0])
         return expo[:nev], vecs[:, :nev], jnp.array(True), jnp.array(1)
 
 
