@@ -510,7 +510,18 @@ def continuation_fold(br, ind_bif: int, lens2,
                       contparams: ContinuationPar,
                       alg=None, detect_codim2_bifurcation: int = 2,
                       update_minaug_every_step: int = 1,
+                      jacobian_ma: str = "dense",
                       **kwargs) -> Branch:
+    if jacobian_ma in ("minaug", "mf", "iterative"):
+        # operator path: sigma/corrector/anchors/spectrum all iterative —
+        # the reference's `jacobian_ma = MinAug()` + BorderingBLS PDE mode
+        # (ref examples/SH2d-fronts.jl:97-115)
+        from .minaug_mf import continuation_fold_mf
+
+        return continuation_fold_mf(
+            br, ind_bif, lens2, contparams, alg=alg,
+            detect_codim2_bifurcation=detect_codim2_bifurcation,
+            update_minaug_every_step=update_minaug_every_step, **kwargs)
     prob = br.prob
     alg = alg or PALC()
     x_flat, p1, zeta, zeta_ad = _fold_start(br, ind_bif)
@@ -541,7 +552,16 @@ def continuation_hopf(br, ind_bif: int, lens2,
                       alg=None, detect_codim2_bifurcation: int = 2,
                       update_minaug_every_step: int = 1,
                       compute_lyapunov: bool = True,
+                      jacobian_ma: str = "dense",
                       **kwargs) -> Branch:
+    if jacobian_ma in ("minaug", "mf", "iterative"):
+        from .minaug_mf import continuation_hopf_mf
+
+        return continuation_hopf_mf(
+            br, ind_bif, lens2, contparams, alg=alg,
+            detect_codim2_bifurcation=detect_codim2_bifurcation,
+            update_minaug_every_step=update_minaug_every_step,
+            compute_lyapunov=compute_lyapunov, **kwargs)
     prob = br.prob
     alg = alg or PALC()
     x_flat, p1, omega, zeta, zeta_ad = _hopf_start(br, ind_bif)
@@ -579,6 +599,16 @@ def _relabel_codim2(gamma: ContResult, maprob=None):
     POLE there (h11 = -J^{-1}B blows up), so its sign change marks a
     zero-Hopf point, not a Bautin point."""
     for sp in gamma.specialpoint:
+        if sp.type == "gh" and maprob is not None \
+                and getattr(maprob, "ma_mf", False):
+            # MF curves never materialize J: use the saved iterative
+            # spectrum at the point for the pole check, else keep 'gh'
+            if sp.eigenvals is not None:
+                vals = np.asarray(sp.eigenvals)
+                if np.any((np.abs(vals.imag) < 1e-6)
+                          & (np.abs(vals.real) < 1e-2)):
+                    sp.type = "zh"
+            continue
         if sp.type == "gh" and maprob is not None:
             n = maprob.n_inner
             X = jnp.asarray(sp.x)

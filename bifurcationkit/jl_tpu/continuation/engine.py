@@ -189,9 +189,13 @@ class ContIterable:
         a multiple of 4 to bound recompiles)."""
         kn = self.kernels
         need = state.n_unstable[0] + 5
-        if need <= kn.nev or kn.nev >= kn.n_state:
+        # structured-jacobian problems (Floquet) bound the spectrum by the
+        # vector-field dimension, not the full unknown count: cap there so
+        # the raise never triggers a useless rebuild (ADVICE r3)
+        cap = min(kn.n_state, getattr(self.prob, "eig_max_nev", kn.n_state))
+        if need <= kn.nev or kn.nev >= cap:
             return
-        new_nev = min(int(-(-need // 4) * 4), kn.n_state)
+        new_nev = min(int(-(-need // 4) * 4), cap)
         cache = self.__dict__.setdefault("_kernels_by_nev", {kn.nev: kn})
         if new_nev not in cache:
             cache[new_nev] = make_kernels(

@@ -53,6 +53,7 @@ class BifurcationProblem:
     jac_adjoint: Optional[Callable] = None  # (u, params) -> (v -> J^T v)
     d2F_user: Optional[Callable] = None     # (u, params, dx1, dx2)
     d3F_user: Optional[Callable] = None     # (u, params, dx1, dx2, dx3)
+    dFdp_user: Optional[Callable] = None    # (u, params) -> dF/d(lens param)
 
     # hooks (ref src/Problems.jl:458-476)
     record_from_solution: Callable = _default_record
@@ -118,7 +119,12 @@ class BifurcationProblem:
 
     def dFdp(self, u, params):
         """Exact dF/dp through the lens via jvp (replaces the reference's
-        finite differences, src/continuation/Palc.jl:222)."""
+        finite differences, src/continuation/Palc.jl:222).  A user override
+        (`dFdp_user`) short-circuits the AD path — needed when F itself
+        contains an iterative solve (e.g. the matrix-free minimally-
+        augmented sigma, codim2/minaug_mf.py) whose jvp would be wasteful."""
+        if self.dFdp_user is not None:
+            return self.dFdp_user(u, params)
         p0 = self.get_lens_param(params)
 
         def f_of_p(p):
@@ -241,7 +247,17 @@ class BifurcationProblem:
 
     # --- functional update (ref re_make, src/Problems.jl:576-617) ---------
     def re_make(self, **kwargs):
-        return dataclasses.replace(self, **kwargs)
+        """dataclasses.replace + carry over non-field attributes
+        (spectral_precond, eig_jacobian, the MA/PO metadata, ...): problems
+        accrete capability hooks via object.__setattr__, and losing them on
+        `re_make(u0=...)` silently downgrades downstream solves (e.g. the
+        codim-2 MA path falling back to unpreconditioned GMRES)."""
+        new = dataclasses.replace(self, **kwargs)
+        field_names = {f.name for f in dataclasses.fields(self)}
+        for key, val in self.__dict__.items():
+            if key not in field_names and key not in new.__dict__:
+                object.__setattr__(new, key, val)
+        return new
 
     # hashing by identity: problems are static configuration objects
     def __hash__(self):

@@ -3,6 +3,7 @@ residuals (used by tests and benchmarks; ref examples/*.jl, test fixtures).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -409,8 +410,44 @@ def cgl2d(Nx: int = 41, Ny: int = 21, lx: float = np.pi,
     u0 = jnp.zeros((2, Nx, Ny))
     params = {"r": r, "mu": mu, "nu": nu, "c3": c3, "c5": c5,
               "gamma": gamma}
-    return BifurcationProblem(
+    prob = BifurcationProblem(
         F, u0=u0, params=params, lens="r",
         record_from_solution=lambda x, p, **k: {
             "param": p, "norm": jnp.linalg.norm(x.ravel()),
             "norminf": jnp.max(jnp.abs(x))})
+
+    # exact spectral preconditioner: DST-I diagonalizes the zero-padded
+    # Dirichlet second difference (plain corners), so (Delta - shift)^{-1}
+    # applies diagonally per component in the 2D sine basis — the
+    # Dirichlet-BC analogue of the SH models' DCT/FFT preconditioners
+    # (steers the MF Newton-GMRES / codim-2 MA solves at the reference's
+    # cGL2d workload, ref examples/cGL2d.jl:115-160)
+    mu_x = 2.0 * (np.cos(np.pi * np.arange(1, Nx + 1) / (Nx + 1)) - 1) / hx2
+    mu_y = 2.0 * (np.cos(np.pi * np.arange(1, Ny + 1) / (Ny + 1)) - 1) / hy2
+    sym = jnp.asarray(mu_x[:, None] + mu_y[None, :])
+    sym32 = jnp.asarray(sym, jnp.float32)
+
+    def _dst1(u, axis):
+        """DST-I via FFT of the odd extension (length 2n+2): the transform
+        that exactly diagonalizes the Dirichlet second difference."""
+        n = u.shape[axis]
+        zshape = list(u.shape)
+        zshape[axis] = 1
+        z = jnp.zeros(zshape, u.dtype)
+        y = jnp.concatenate([z, u, z, -jnp.flip(u, axis)], axis=axis)
+        Fy = jnp.fft.fft(y, axis=axis)
+        return -jnp.imag(jax.lax.slice_in_dim(Fy, 1, n + 1, axis=axis)) / 2.0
+
+    def precond(v, shift=0.0):
+        shp = v.shape
+        x = v.reshape((2, Nx, Ny))
+        lam = sym32 if (jax.default_backend() == "tpu"
+                        or x.dtype == jnp.float32) else sym
+        xf = x.astype(jnp.float32) if lam is sym32 else x
+        t = _dst1(_dst1(xf, 1), 2)
+        t = t / (lam - shift)[None]
+        t = _dst1(_dst1(t, 1), 2) * (4.0 / ((Nx + 1) * (Ny + 1)))
+        return t.astype(v.dtype).reshape(shp)
+
+    object.__setattr__(prob, "spectral_precond", precond)
+    return prob

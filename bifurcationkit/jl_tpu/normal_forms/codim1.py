@@ -214,6 +214,42 @@ def get_adjoint_basis(Lt, lam, nev: int = 10):
     return np.asarray(vecs)[:, idx], vals_np[idx]
 
 
+def null_basis_iter(Jd, Jtd, seed, gmres, iters: int = 3,
+                    rayleigh_iters: int = 2):
+    """Matrix-free (right, left) critical-eigenvector pair of a
+    (near-)singular real operator by bordered inverse iteration: one
+    extended bordered solve per sweep concentrates v onto the null
+    direction (the extended operator is nonsingular), and re-anchoring
+    converges quadratically.  When the point is only NEAR the singularity
+    (bisection-located folds carry a residual), `rayleigh_iters` extra
+    sweeps with the Rayleigh-quotient shift lock onto the EXACT eigenvector
+    of the eigenvalue nearest zero (cubic convergence) — required for
+    normal-form coefficients at the dense path's accuracy.  This is the
+    PDE-scale replacement for `get_adjoint_basis`'s dense_eig of the
+    transpose (ref src/NormalForms.jl:27-43; the reference uses its
+    iterative eigensolver abstraction there) — Jᵀv comes for free from vjp.
+    Returns (zeta, zeta_ad) with ||zeta|| = 1, ||zeta_ad|| = 1."""
+    from ..codim2.minaug_mf import solve_bordered_ext
+
+    b = jnp.asarray(seed)
+    b = b / jnp.linalg.norm(b)
+    a = b
+    for _ in range(iters):
+        v, _, _ = solve_bordered_ext(Jd, a, b, gmres)
+        w, _, _ = solve_bordered_ext(Jtd, b, a, gmres)
+        b = v / jnp.linalg.norm(v)
+        a = w / jnp.linalg.norm(w)
+    for _ in range(rayleigh_iters):
+        lam = jnp.dot(b, Jd(b))          # ||b|| = 1
+        Js = lambda d, lam=lam: Jd(d) - lam * d      # noqa: E731
+        Jts = lambda d, lam=lam: Jtd(d) - lam * d    # noqa: E731
+        v, _, _ = solve_bordered_ext(Js, a, b, gmres)
+        w, _, _ = solve_bordered_ext(Jts, b, a, gmres)
+        b = v / jnp.linalg.norm(v)
+        a = w / jnp.linalg.norm(w)
+    return b, a
+
+
 def _bifpoint_eigen(br, sp, which: Optional[int] = None):
     """Eigen-elements at a special point: prefer those stored on the point."""
     ind = sp.ind_ev if which is None else which
@@ -234,31 +270,70 @@ def _bifpoint_eigen(br, sp, which: Optional[int] = None):
 
 
 def get_normal_form1d(prob, br, ind_bif: int, verbose: bool = False,
-                      tol_fold: float = 1e-3, bls=None):
+                      tol_fold: float = 1e-3, bls=None,
+                      matrix_free: bool = False, precond=None,
+                      gmres_opts: Optional[dict] = None):
+    """1d-kernel Lyapunov-Schmidt normal form (ref get_normal_form1d,
+    src/NormalForms.jl:189-357).  With `matrix_free=True` nothing
+    materializes the jacobian: (zeta, zeta*) come from bordered inverse
+    iteration (vjp transpose) and the two bordered projections run
+    preconditioned GMRES on the extended operator — the PDE-scale route the
+    reference exercises at 15,100 dof (`get_normal_form(br, 19)`,
+    ref examples/SH2d-fronts.jl:95)."""
     sp = br.specialpoint[ind_bif]
     if sp.type not in ("bp", "fold"):
         raise ValueError(f"point {ind_bif} is of type {sp.type!r}, not a "
                          "branch point with 1d kernel")
-    bls = bls or MatrixBLS()
     p = sp.param
     parbif = prob.set_lens_param(br.prob.params if br.prob else prob.params,
                                  p)
     fp = _FlatProblem(prob, sp.x, parbif)
-    L = fp.jacobian()
 
-    lam, zeta, ind = _bifpoint_eigen(br, sp)
+    try:
+        lam, zeta, ind = _bifpoint_eigen(br, sp)
+    except ValueError:
+        # fold-by-monotony points carry no eigen-elements; the critical
+        # eigenvalue is 0 by definition and zeta comes from the fallback
+        # (dense_eig / bordered inverse iteration) below
+        lam, zeta, ind = 0.0, None, 0
     lam = float(np.real(lam))
-    if zeta is None:
-        vals, vecs = dense_eig(L)
-        vals_np = np.asarray(vals)
-        ind = int(np.argmin(np.abs(vals_np.real)))
-        zeta = np.asarray(vecs)[:, ind]
-    zeta = jnp.asarray(np.real(zeta))
-    zeta = zeta / jnp.linalg.norm(zeta)
 
-    # adjoint kernel basis
-    zeta_ad, lam_ad = get_adjoint_basis(L.T, lam)
-    zeta_ad = jnp.asarray(np.real(zeta_ad))
+    if matrix_free:
+        from ..codim2.minaug_mf import _make_ma_gmres, solve_bordered_ext
+
+        if precond is None:
+            precond = getattr(prob, "spectral_precond", None)
+        gm = _make_ma_gmres(precond, fp.n, 1, gmres_opts)
+
+        Jd = lambda d: fp.dF(d)          # noqa: E731 — flat matvec
+        Jtd = lambda d: ravel(prob.dFt(  # noqa: E731
+            fp.unravel(fp.flat0), parbif, fp.unravel(d)))[0]
+        if zeta is None:
+            rng = np.random.default_rng(17)
+            seed = rng.standard_normal(fp.n)
+        else:
+            seed = np.real(np.asarray(zeta))
+        zeta, zeta_ad = null_basis_iter(Jd, Jtd, jnp.asarray(seed), gm)
+        L = None
+
+        def bls(Lop, col, row, dzp, R, nb, dotp=None):
+            Psi, s, cv = solve_bordered_ext(Jd, col, row, gm, rhs_top=R,
+                                            rhs_bot=nb)
+            return Psi, s, cv, jnp.array(0)
+    else:
+        bls = bls or MatrixBLS()
+        L = fp.jacobian()
+        if zeta is None:
+            vals, vecs = dense_eig(L)
+            vals_np = np.asarray(vals)
+            ind = int(np.argmin(np.abs(vals_np.real)))
+            zeta = np.asarray(vecs)[:, ind]
+        zeta = jnp.asarray(np.real(np.asarray(zeta)))
+        zeta = zeta / jnp.linalg.norm(zeta)
+
+        # adjoint kernel basis
+        zeta_ad, lam_ad = get_adjoint_basis(L.T, lam)
+        zeta_ad = jnp.asarray(np.real(zeta_ad))
     inner_zz = _inner(zeta, zeta_ad)
     if abs(inner_zz) < 1e-10:
         raise RuntimeError("<zeta, zeta*> ~ 0; increase nev")

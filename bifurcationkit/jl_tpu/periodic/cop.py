@@ -166,23 +166,20 @@ def cop_interval_maps(blocks: COPBlocks):
     return -H[:, -n:, :]                          # (Ntst, n, n)
 
 
-def _external_system(blocks: COPBlocks, H, k, G, kp, rc, r_per, r_phase,
-                     dR_per=None, dR_phase=None,
-                     border_row=None, border_rhs=None):
-    """Assemble + solve the pivoted external system on the boundary
-    unknowns y = [du_0..du_Ntst, dT (, dp)] (ref build_external_system!,
-    cop.jl:322, pivoted back-substitution :484).
+def _external_matrix(blocks: COPBlocks, H, k, kp=None, dR_per=None,
+                     dR_phase=None, border_row=None):
+    """Assemble the (rhs-independent) pivoted external matrix on the
+    boundary unknowns y = [du_0..du_Ntst, dT (, dp)] (ref
+    build_external_system!, cop.jl:322).
 
     Rows: Ntst coupling blocks  du_{j+1} - S_j du_j - t_j dT (- tp_j dp),
     n periodicity rows, the phase row, and optionally one border row
-    (the PALC arclength constraint, pre-reduced over the local unknowns).
-    Returns (du_bound (Ntst+1, n), dT, dp_or_None)."""
+    (the PALC arclength constraint, pre-reduced over the local unknowns)."""
     n, Ntst = blocks.n, blocks.Ntst
-    dtype = G.dtype
+    dtype = H.dtype
     bordered = border_row is not None
     S = -H[:, -n:, :]
     t = -k[:, -n:]
-    h = G[:, -n:]
     Next = (Ntst + 1) * n + 1 + (1 if bordered else 0)
     eye = jnp.eye(n, dtype=dtype)
 
@@ -195,11 +192,9 @@ def _external_system(blocks: COPBlocks, H, k, G, kp, rc, r_per, r_phase,
     coupling = rowsA.reshape(Ntst * n, (Ntst + 1) * n)
 
     # phase row after substituting the local unknowns:
-    # coeff(du_j) = phi0_j - phiI_j H_j; coeff(dT) = sum_j -phiI_j k_j;
-    # constant = sum_j phiI_j G_j (moves to the rhs)
+    # coeff(du_j) = phi0_j - phiI_j H_j; coeff(dT) = sum_j -phiI_j k_j
     cu = blocks.phi0 - jnp.einsum("jr,jrn->jn", blocks.phiI, H)
     cT_phase = -jnp.einsum("jr,jr->", blocks.phiI, k)
-    cc_phase = jnp.einsum("jr,jr->", blocks.phiI, G)
 
     A = jnp.zeros((Next, Next), dtype)
     A = A.at[:Ntst * n, :(Ntst + 1) * n].set(coupling)
@@ -209,8 +204,6 @@ def _external_system(blocks: COPBlocks, H, k, G, kp, rc, r_per, r_phase,
     prow = (Ntst + 1) * n   # phase-row index
     A = A.at[prow, :Ntst * n].set(cu.reshape(-1))
     A = A.at[prow, (Ntst + 1) * n].set(cT_phase)
-    b = jnp.concatenate([h.reshape(-1), r_per,
-                         (r_phase - cc_phase)[None]])
 
     if bordered:
         tp = -kp[:, -n:]
@@ -222,14 +215,38 @@ def _external_system(blocks: COPBlocks, H, k, G, kp, rc, r_per, r_phase,
             jnp.asarray(dR_per, dtype))
         A = A.at[prow, pcol].set(cp_phase)
         A = A.at[Next - 1, :].set(border_row)
-        b = jnp.concatenate([b, jnp.asarray(border_rhs, dtype)[None]])
+    return A
 
+
+def _external_b(blocks: COPBlocks, G, r_per, r_phase, border_rhs=None):
+    """The rhs of the external system for a given reduced rhs G
+    (constant parts of the phase row move here)."""
+    n = blocks.n
+    h = G[:, -n:]
+    cc_phase = jnp.einsum("jr,jr->", blocks.phiI, G)
+    b = jnp.concatenate([h.reshape(-1), r_per,
+                         (r_phase - cc_phase)[None]])
+    if border_rhs is not None:
+        b = jnp.concatenate([b, jnp.asarray(border_rhs, G.dtype)[None]])
+    return b
+
+
+def _external_system(blocks: COPBlocks, H, k, G, kp, rc, r_per, r_phase,
+                     dR_per=None, dR_phase=None,
+                     border_row=None, border_rhs=None):
+    """Assemble + solve the external system (ref cop.jl:322,484).
+    Returns (du_bound (Ntst+1, n), dT, dp_or_None)."""
     from ..linalg.linear import dense_solve
 
+    n, Ntst = blocks.n, blocks.Ntst
+    bordered = border_row is not None
+    A = _external_matrix(blocks, H, k, kp, dR_per, dR_phase, border_row)
+    b = _external_b(blocks, G, r_per, r_phase,
+                    border_rhs if bordered else None)
     y = dense_solve(A, b)
     du_bound = y[:(Ntst + 1) * n].reshape(Ntst + 1, n)
     dT = y[(Ntst + 1) * n]
-    dp = y[Next - 1] if bordered else None
+    dp = y[A.shape[0] - 1] if bordered else None
     return du_bound, dT, dp
 
 
@@ -461,6 +478,191 @@ def cop_bc_sigma(blocks: COPBlocks, a_res, b_unk, s_re, s_im=0.0):
     return sig_re, sig_im, assemble(du_r, vloc_r), assemble(du_i, vloc_i)
 
 
+def _cast_blocks(blocks: COPBlocks, dt) -> COPBlocks:
+    return COPBlocks(Aint=blocks.Aint.astype(dt), B0=blocks.B0.astype(dt),
+                     cT=blocks.cT.astype(dt), phi0=blocks.phi0.astype(dt),
+                     phiI=blocks.phiI.astype(dt), n=blocks.n, m=blocks.m,
+                     Ntst=blocks.Ntst)
+
+
+def _border_reduction(blocks: COPBlocks, H, k, kp, dzu, dzp, xi_u, xi_p,
+                      dot_scale):
+    """Reduce the PALC arclength row over the local unknowns (the
+    rhs-independent part): returns (border_row, wI, s) — the G-dependent
+    constant is applied per-solve (`- s * <wI, G>`)."""
+    n, m, Ntst = blocks.n, blocks.m, blocks.Ntst
+    dtype = H.dtype
+    w_nodes = dzu[:-1].reshape(Ntst * m + 1, n)
+    wT = dzu[-1]
+    w0 = w_nodes[jnp.arange(Ntst + 1) * m]
+    idxI = (jnp.arange(Ntst)[:, None] * m + jnp.arange(1, m + 1)[None, :])
+    wI = w_nodes[idxI].reshape(Ntst, m * n)
+    # each boundary node (j+1)*m is BOTH interval j's m-th local unknown
+    # and the external unknown du_{j+1}; its weight enters once — through
+    # the external (w0) path
+    wI = wI.at[:, -n:].set(0.0)
+    # keep every scalar at the factorization dtype: a stray f64 scale would
+    # promote the row assembly and trip the f64->f32 scatter cast
+    s = jnp.asarray(xi_u, dtype) * jnp.asarray(dot_scale, dtype)
+    xi_p = jnp.asarray(xi_p, dtype)
+    dzp = jnp.asarray(dzp, dtype)
+    c_du = jnp.zeros((Ntst + 1, n), dtype).at[:].set(s * w0)
+    c_du = c_du.at[:Ntst].add(-s * jnp.einsum("jr,jrn->jn", wI, H))
+    c_T = s * (wT - jnp.einsum("jr,jr->", wI, k))
+    c_p = -s * jnp.einsum("jr,jr->", wI, kp) + xi_p * dzp
+    Next = (Ntst + 1) * n + 2
+    border_row = jnp.zeros((Next,), dtype)
+    border_row = border_row.at[:(Ntst + 1) * n].set(c_du.reshape(-1))
+    border_row = border_row.at[(Ntst + 1) * n].set(c_T)
+    border_row = border_row.at[Next - 1].set(c_p)
+    return border_row, wI, s
+
+
+def cop_factor(blocks: COPBlocks, dRc=None, border=None):
+    """Reusable COP factorization at FIXED jacobian: the batched pivoted
+    block LU, the reduced couplings (H, k [, kp]) and the FACTORED external
+    matrix.  `border = (dzu_flat, dzp, xi_u, xi_p, dot_scale, dR_per,
+    dR_phase)` adds the PALC parameter column + pre-reduced arclength row.
+
+    This is the mixed-precision building block (VERDICT r3 #4): factor once
+    in f32 (native MXU LU — the f64 path lowers to the 2x-flop QR fallback
+    on TPU, docs/TPU_NOTES.md), then refine each solve against the f64
+    structured matvec — the IterativeRefinement pattern applied to the COP
+    path."""
+    from ..linalg.linear import dense_factor, dense_factor_solve
+
+    fac = jax.vmap(dense_factor)(blocks.Aint)
+    solve = jax.vmap(dense_factor_solve)
+    H = solve(fac, blocks.B0)
+    k = solve(fac, blocks.cT[..., None])[..., 0]
+    kp = None
+    border_row = None
+    wI = s = dR_per = dR_phase = None
+    if border is not None:
+        dzu, dzp, xi_u, xi_p, dot_scale, dR_per, dR_phase = border
+        kp = solve(fac, dRc[..., None])[..., 0]
+        border_row, wI, s = _border_reduction(blocks, H, k, kp, dzu, dzp,
+                                              xi_u, xi_p, dot_scale)
+    A = _external_matrix(blocks, H, k, kp, dR_per, dR_phase, border_row)
+    A_fac = dense_factor(A)
+    return dict(fac=fac, H=H, k=k, kp=kp, A_fac=A_fac, wI=wI, s=s)
+
+
+def cop_factor_solve(blocks: COPBlocks, F, rhs, rn=None):
+    """Solve with a `cop_factor` factorization: only triangular solves,
+    the small external back-substitution and the node assembly — no new
+    factorization.  Returns (dX, dp_or_None)."""
+    from ..linalg.linear import dense_factor_solve
+
+    n, m, Ntst = blocks.n, blocks.m, blocks.Ntst
+    rc = rhs[:Ntst * m * n].reshape(Ntst, m * n)
+    r_per = rhs[Ntst * m * n: Ntst * m * n + n]
+    r_phase = rhs[-1]
+    G = jax.vmap(dense_factor_solve)(F["fac"], rc[..., None])[..., 0]
+    bordered = F["kp"] is not None
+    border_rhs = None
+    if bordered:
+        border_rhs = (jnp.asarray(rn, G.dtype)
+                      - F["s"] * jnp.einsum("jr,jr->", F["wI"], G))
+    b = _external_b(blocks, G, r_per, r_phase, border_rhs)
+    y = dense_factor_solve(F["A_fac"], b)
+    du_bound = y[:(Ntst + 1) * n].reshape(Ntst + 1, n)
+    dT = y[(Ntst + 1) * n]
+    dp = y[y.shape[0] - 1] if bordered else None
+    dX = _assemble_nodes(blocks, F["H"], F["k"], G, F["kp"], du_bound, dT,
+                         dp)
+    return dX, dp
+
+
+def cop_solve_mixed(blocks: COPBlocks, rhs, low_dtype=jnp.float32,
+                    refinements: int = 3, rtol: float = 1e-10,
+                    atol: float = 1e-13):
+    """Mixed-precision COP solve: ONE f32 factorization (batched native-LU
+    stage 1 + external LU) + f64 residual refinement through the structured
+    matvec.  2-3 refinement passes reach f64-GMRES-grade residuals at
+    f32 factorization cost (the TPU answer to the reference's f64 LAPACK
+    COP, cop.jl:215-527; VERDICT r3 #4)."""
+    lo = low_dtype
+    blo = _cast_blocks(blocks, lo)
+    F = cop_factor(blo)
+    x0, _ = cop_factor_solve(blo, F, rhs.astype(lo))
+    x = x0.astype(rhs.dtype)
+    b_norm = jnp.linalg.norm(rhs)
+    tol = jnp.maximum(rtol * b_norm, atol)
+
+    def body(carry):
+        x, _, kk = carry
+        r = rhs - blocks(x)
+        d, _ = cop_factor_solve(blo, F, r.astype(lo))
+        x = x + d.astype(rhs.dtype)
+        rn = jnp.linalg.norm(rhs - blocks(x))
+        return x, rn, kk + 1
+
+    def cond(carry):
+        _, rn, kk = carry
+        return jnp.logical_and(rn > tol, kk < refinements)
+
+    x, rn, _ = jax.lax.while_loop(
+        cond, body, (x, jnp.linalg.norm(rhs - blocks(x)), jnp.array(0)))
+    return x, rn <= tol
+
+
+def cop_solve_bordered_mixed(blocks: COPBlocks, rhs, rn_s, dR, dzu, dzp,
+                             xi_u=1.0, xi_p=1.0, dot_scale=1.0,
+                             low_dtype=jnp.float32, refinements: int = 3,
+                             rtol: float = 1e-10, atol: float = 1e-13):
+    """Mixed-precision one-pass bordered condensation (the COPBLS analogue
+    of `cop_solve_mixed`): the f32 factorization carries the parameter
+    column and the pre-reduced arclength row; refinement measures the FULL
+    bordered residual [J dX + dR dp - rhs; <c,dX> + cp dp - rn]."""
+    n, m, Ntst = blocks.n, blocks.m, blocks.Ntst
+    lo = low_dtype
+    dt = rhs.dtype
+    blo = _cast_blocks(blocks, lo)
+    dRc = dR[:Ntst * m * n].reshape(Ntst, m * n).astype(lo)
+    dR_per = dR[Ntst * m * n: Ntst * m * n + n]
+    dR_phase = dR[-1]
+    F = cop_factor(blo, dRc,
+                   border=(dzu.astype(lo), jnp.asarray(dzp, lo), xi_u,
+                           xi_p, dot_scale, dR_per.astype(lo),
+                           jnp.asarray(dR_phase, lo)))
+    x0, dp0 = cop_factor_solve(blo, F, rhs.astype(lo),
+                               rn=jnp.asarray(rn_s, lo))
+    x = x0.astype(dt)
+    dp = dp0.astype(dt)
+    sclu = xi_u * dot_scale
+
+    def resid(x, dp):
+        top = rhs - blocks(x) - dp * dR
+        bot = (jnp.asarray(rn_s, dt) - sclu * jnp.dot(dzu, x)
+               - xi_p * dzp * dp)
+        return top, bot
+
+    b_norm = jnp.maximum(jnp.linalg.norm(rhs), jnp.abs(rn_s))
+    tol = jnp.maximum(rtol * b_norm, atol)
+
+    def body(carry):
+        x, dp, _, kk = carry
+        top, bot = resid(x, dp)
+        d, ddp = cop_factor_solve(blo, F, top.astype(lo),
+                                  rn=bot.astype(lo))
+        x = x + d.astype(dt)
+        dp = dp + ddp.astype(dt)
+        top2, bot2 = resid(x, dp)
+        rnorm = jnp.maximum(jnp.linalg.norm(top2), jnp.abs(bot2))
+        return x, dp, rnorm, kk + 1
+
+    def cond(carry):
+        _, _, rnorm, kk = carry
+        return jnp.logical_and(rnorm > tol, kk < refinements)
+
+    top0, bot0 = resid(x, dp)
+    r0 = jnp.maximum(jnp.linalg.norm(top0), jnp.abs(bot0))
+    x, dp, rnorm, _ = jax.lax.while_loop(cond, body,
+                                         (x, dp, r0, jnp.array(0)))
+    return x, dp, rnorm <= tol
+
+
 def cop_solve_block(blocks: COPBlocks, R, C, D, E, s):
     """k-border block solve with the COP inner solver (the explicit
     multi-border elimination of ref solve_bls_block,
@@ -487,14 +689,28 @@ class COPLS:
     """Linear solver consuming the structured COPBlocks jacobian
     (ref COPLS, cop.jl:85).  Use via
     `periodic_orbit_problem(..., use_cop=True)` +
-    `NewtonPar(linsolver=COPLS())`."""
+    `NewtonPar(linsolver=COPLS())`.
+
+    `low_dtype=jnp.float32` switches to the mixed-precision path: f32
+    batched stage-1/external factorizations (native MXU LU instead of the
+    emulated-f64 QR fallback) + f64 residual refinement through the
+    structured matvec (VERDICT r3 #4)."""
 
     needs_matrix = True   # ask Newton for prob.jacobian (the blocks)
+    low_dtype: Any = None
+    refinements: int = 3
+    rtol: float = 1e-10
+    atol: float = 1e-13
 
     def __call__(self, J: COPBlocks, rhs, a0=0.0, a1=1.0):
         from ..core.state import ravel
 
         flat, unravel = ravel(rhs)
+        if self.low_dtype is not None:
+            sol, cv = cop_solve_mixed(J, flat, low_dtype=self.low_dtype,
+                                      refinements=self.refinements,
+                                      rtol=self.rtol, atol=self.atol)
+            return unravel(sol), cv, jnp.array(1 + self.refinements)
         sol = cop_solve(J, flat)
         return unravel(sol), jnp.array(True), jnp.array(1)
 
@@ -504,9 +720,14 @@ class COPBLS:
     """Bordered linear solver doing ONE condensation for the whole PALC
     system (ref COPBLS, cop.jl:107) — drop-in for BorderingBLS in the
     continuation kernels when the jacobian is COPBlocks.  Auto-wired by
-    `continuation_po(..., use_cop=True)`."""
+    `continuation_po(..., use_cop=True)`.  `low_dtype=jnp.float32` =
+    mixed-precision condensation (see COPLS)."""
 
     needs_matrix = True
+    low_dtype: Any = None
+    refinements: int = 3
+    rtol: float = 1e-10
+    atol: float = 1e-13
 
     def __call__(self, J: COPBlocks, dR, dzu, dzp, R, n, xi_u=1.0,
                  xi_p=1.0, shift=None, dotp=None):
@@ -520,6 +741,14 @@ class COPBLS:
         R_flat, _ = ravel(R)
         N = dzu_flat.shape[0]
         scale = _dotp_row_scale(dotp or _default_dotp, dzu_flat, N)
+        if self.low_dtype is not None:
+            dX, dp, cv = cop_solve_bordered_mixed(
+                J, R_flat, jnp.asarray(n), dR_flat, dzu_flat,
+                jnp.asarray(dzp), xi_u=xi_u, xi_p=xi_p, dot_scale=scale,
+                low_dtype=self.low_dtype, refinements=self.refinements,
+                rtol=self.rtol, atol=self.atol)
+            return (unravel_state(dX), dp, cv,
+                    jnp.array(1 + self.refinements))
         dX, dp = cop_solve_bordered(J, R_flat, jnp.asarray(n), dR_flat,
                                     dzu_flat, jnp.asarray(dzp),
                                     xi_u=xi_u, xi_p=xi_p, dot_scale=scale)

@@ -83,8 +83,10 @@ class FloquetColl:
         """Stage-1 elimination + renormalized monodromy product, entirely
         on device in REAL arithmetic.  Returns (P, logs): the max-norm
         scaled product and the accumulated log of the scalings.  The small
-        (n, n) eigenproblem then runs host-side (`host_eig`) in full f64 —
-        the engine's two-stage eig path uses this split on every backend
+        (n, n) eigenproblem then runs host-side (`host_eig`) as an f64 eig
+        of this device-precision reduction (accuracy is bounded by the
+        reduction dtype, f64 only when x64 is on) — the engine's two-stage
+        eig path uses this split on every backend
         (kernels.py::eig_kernel): it avoids both the sequential device
         Francis-QR (latency-bound on a tunneled chip) and the complex64
         precision cap of TPU device complex."""
@@ -106,18 +108,27 @@ class FloquetColl:
 
     def host_eig(self, P, logs, nev: int, with_vectors: bool = True):
         """Floquet exponents from the device-reduced (P, logs) — host numpy
-        f64 eig of the small real matrix (the same division of labor as the
-        Arnoldi Hessenberg eig: device does the O(Ntst n^3) reduction, host
-        does the O(n^3) small dense eig)."""
+        f64 eig of the device-precision reduction (the eig itself runs in
+        f64, but it cannot recover precision already lost in an f32
+        stage-1/product; the reduction dtype is the accuracy bound).  Same
+        division of labor as the Arnoldi Hessenberg eig: device does the
+        O(Ntst n^3) reduction, host the O(n^3) small dense eig."""
         P = np.asarray(P)
-        w, v = np.linalg.eig(P)
+        nev = min(nev, P.shape[0])
+        try:
+            w, v = np.linalg.eig(P)
+        except np.linalg.LinAlgError:
+            # report as converged_eig=False like every other eig path
+            # instead of aborting the continuation step (ADVICE r3)
+            nan = np.full((nev,), np.nan + 0j, np.complex128)
+            return nan, None, False, 1
         expo = np.log(w.astype(np.complex128)) + float(logs)
         order = np.lexsort((-expo.imag, -expo.real))
         expo = expo[order]
         v = v[:, order]
-        nev = min(nev, P.shape[0])
         return (expo[:nev], v[:, :nev] if with_vectors else None,
                 True, 1)
+
 
     def __call__(self, blocks, nev: int):
         P, logs = self.device_reduce(blocks)

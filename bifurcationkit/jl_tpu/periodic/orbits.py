@@ -204,6 +204,10 @@ def periodic_orbit_problem(prob_vf: BifurcationProblem, disc, X0,
     object.__setattr__(po_prob, "disc", disc)
     object.__setattr__(po_prob, "prob_vf", prob_vf)
     object.__setattr__(po_prob, "n_vf", n)
+    # the Floquet spectrum has at most n_vf entries: cap the engine's nev
+    # auto-raise there (ADVICE r3 — no useless rebuild when
+    # n_unstable + 5 > n_vf)
+    object.__setattr__(po_prob, "eig_max_nev", n)
     return po_prob
 
 

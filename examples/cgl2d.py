@@ -36,7 +36,8 @@ def main(Nx=21, Ny=11, po_steps=6):
 
     nopts = bk.NewtonPar(tol=1e-9, max_iterations=20,
                          linsolver=GMRES(restart=40, maxiter=400,
-                                         rtol=1e-10),
+                                         rtol=1e-10,
+                                         precond=base.spectral_precond),
                          eigsolver=ArnoldiEig(krylov_dim=60, restarts=4))
     cp = bk.ContinuationPar(ds=0.02, dsmax=0.05, dsmin=1e-6, p_min=0.0,
                             p_max=2.5, max_steps=80, detect_bifurcation=3,
@@ -49,6 +50,32 @@ def main(Nx=21, Ny=11, po_steps=6):
 
     i = br.specialpoint.index(hopfs[0])
     hp = bk.get_normal_form(br, i, verbose=True)
+
+    # --- codim-2: Hopf curve in gamma via the MATRIX-FREE MA path with
+    # BT/GH monitoring (the reference's 1,722-dof leg with
+    # `jacobian_ma = MinAug()`, ref examples/cGL2d.jl:115-127); the DST-I
+    # spectral preconditioner steers every inner solve
+    if os.environ.get("CGL2D_HOPF_CURVE", "1") == "1":
+        import time
+
+        cp_h = bk.ContinuationPar(
+            ds=0.02, dsmax=0.05, dsmin=1e-6, p_min=-10.0, p_max=6.5,
+            max_steps=int(os.environ.get("CGL2D_HOPF_STEPS", "20")),
+            detect_bifurcation=0, detect_fold=False,
+            newton_options=bk.NewtonPar(
+                tol=1e-8, max_iterations=20,
+                linsolver=bk.GMRES(restart=40, maxiter=400, rtol=1e-10,
+                                   precond=base.spectral_precond)))
+        t0 = time.time()
+        brh = bk.continuation_hopf(br, i, "gamma", cp_h,
+                                   detect_codim2_bifurcation=2,
+                                   jacobian_ma="minaug",
+                                   precond=base.spectral_precond)
+        dt = time.time() - t0
+        tblh = brh.gamma._table()
+        print(f"MF Hopf curve (gamma, r): {len(brh)} steps in {dt:.1f}s = "
+              f"{len(brh)/dt:.2f} steps/s; omega:",
+              [round(float(v), 4) for v in tblh["omega"][:4]])
 
     # PO solves go through the native COP direct solver (the reference
     # uses ILU-preconditioned GMRES on the trapezoid system instead).

@@ -101,6 +101,33 @@ def main(N=256):
         print("saved sh2d_branch.png")
     except Exception:
         pass
+
+    # --- codim-2: fold curve in nu via the MATRIX-FREE minimally-augmented
+    # path (the reference's own 15,100-dof leg, SH2d-fronts.jl:97-115 with
+    # jacobian_ma = MinAug() + BorderingBLS): sigma / Govaerts corrector /
+    # anchors / per-step spectrum all through preconditioned GMRES on the
+    # extended operator — nothing materializes a matrix.
+    folds = br.get_special_points("fold")
+    if os.environ.get("SH2D_FOLD_CURVE", "1") == "1" and folds:
+        idx = br.specialpoint.index(folds[0])
+        cp2 = bk.ContinuationPar(
+            ds=0.01, dsmax=0.03, dsmin=1e-6, p_min=0.5, p_max=2.0,
+            max_steps=int(os.environ.get("SH2D_FOLD_STEPS", "25")),
+            detect_bifurcation=0, detect_fold=False,
+            newton_options=bk.NewtonPar(
+                tol=tol_c, max_iterations=15,
+                linsolver=bk.GMRES(restart=40, maxiter=400, rtol=1e-9,
+                                   precond=prob.spectral_precond)))
+        t0 = time.time()
+        brf = bk.continuation_fold(br, idx, "nu", cp2,
+                                   detect_codim2_bifurcation=2,
+                                   jacobian_ma="minaug")
+        dt = time.time() - t0
+        tbl = brf.gamma._table()
+        print(f"MF fold curve (nu, l): {len(brf)} steps in {dt:.1f}s = "
+              f"{len(brf)/dt:.2f} steps/s")
+        print("  nu:", np.round(np.asarray(tbl['param'])[:6], 4),
+              " l:", np.round(np.asarray(tbl['p1'])[:6], 4))
     return br
 
 

