@@ -410,7 +410,7 @@ def po_steps_per_s(warmup=2, timed=4, nsite=None):
         tol_stability=1e-3, save_eigenvectors=False,
         newton_options=bk.NewtonPar(
             tol=1e-7, max_iterations=20, linsolver=COPLS(low_dtype=lo),
-            eigsolver=bk.FloquetColl())))
+            eigsolver=bk.FloquetColl(low_dtype=lo))))
     alg = bk.PALC(bls=COPBLS(low_dtype=lo))
     it = ContIterable(po_prob, alg, cpo, kind="PeriodicOrbitCont")
     state = it.init_state(x0=X0)

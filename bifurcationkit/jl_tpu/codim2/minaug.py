@@ -660,6 +660,12 @@ def switch_codim2(br_c2, ind: int, contparams: ContinuationPar,
     gamma = br_c2.gamma if isinstance(br_c2, Branch) else br_c2
     sp = gamma.specialpoint[ind]
     maprob = gamma.prob
+    if getattr(maprob, "ma_mf", False):
+        raise NotImplementedError(
+            "switch_codim2 from a matrix-free MA curve is not wired yet: "
+            "restart the target curve directly with continuation_fold/"
+            "continuation_hopf(jacobian_ma='minaug') from the codim-2 "
+            "point's (x, p1, p2) data")
     inner = maprob.inner_prob
     n = maprob.n_inner
     X = jnp.asarray(sp.x)
@@ -836,12 +842,23 @@ def refine_gh(br_hopf, ind_sp: int, tol_l1: float = 1e-8,
     sp = gamma.specialpoint[ind_sp]
     if sp.type not in ("gh", "zh"):
         raise ValueError(f"point {ind_sp} has type {sp.type!r}")
+    if getattr(maprob, "ma_mf", False):
+        from .minaug_mf import make_l1_kernel_mf
+
+        _l1_raw = make_l1_kernel_mf(maprob)
+
+        def l1_of(X):
+            return float(_l1_raw(jnp.asarray(X), maprob.params))
+    else:
+        _l1_raw = _make_l1_kernel(maprob)
+
+        def l1_of(X):
+            return float(_l1_raw(jnp.asarray(X), maprob.params["_inner"]))
     from ..continuation.engine import ContIterable
     from ..continuation.algorithms import PALC as _PALC
 
     it = ContIterable(maprob, _PALC(), gamma.contparams)
     it.current_params = gamma.prob.params
-    l1_fn = _make_l1_kernel(maprob)
 
     X0 = jnp.asarray(sp.x)
     pa, pb = sp.interval
@@ -857,15 +874,15 @@ def refine_gh(br_hopf, ind_sp: int, tol_l1: float = 1e-8,
     Xb, cvb = solve_at(pb, X0)
     if not (cva and cvb):
         return X0, sp.param
-    la = float(l1_fn(Xa, maprob.params["_inner"]))
-    lb = float(l1_fn(Xb, maprob.params["_inner"]))
+    la = l1_of(Xa)
+    lb = l1_of(Xb)
     if la * lb > 0:
         # widen once
         pa, pb = pa - (pb - pa), pb + (pb - pa)
         Xa, cva = solve_at(pa, X0)
         Xb, cvb = solve_at(pb, X0)
-        la = float(l1_fn(Xa, maprob.params["_inner"]))
-        lb = float(l1_fn(Xb, maprob.params["_inner"]))
+        la = l1_of(Xa)
+        lb = l1_of(Xb)
         if la * lb > 0:
             return X0, sp.param
     X = X0
@@ -874,7 +891,7 @@ def refine_gh(br_hopf, ind_sp: int, tol_l1: float = 1e-8,
         X, cv = solve_at(pm, X)
         if not cv:
             break
-        lm = float(l1_fn(X, maprob.params["_inner"]))
+        lm = l1_of(X)
         if verbose:
             print(f"  [refine_gh] p2={pm:.10f} l1={lm:+.3e}")
         if abs(lm) < tol_l1 or (pb - pa) < 1e-12:

@@ -337,10 +337,15 @@ class ContIterable:
     def _can_fuse(self, state) -> bool:
         """Fused single-dispatch step applies for plain PALC + Secant
         (and not for two-stage eig problems, whose eigensolve must stay a
-        separate dispatch — see kernels.eig_two_stage)."""
+        separate dispatch — see kernels.eig_two_stage; problems whose
+        residual/jacobian already embed iterative solves — the MF MA
+        functionals — set fuse_step=False: one program holding corrector
+        + tangent + eig on top of their nested Krylov loops has crashed
+        the TPU compile helper at PDE scale)."""
         return (isinstance(self.alg, PALC)
                 and isinstance(getattr(self.alg, "tangent", None), Secant)
-                and not getattr(self.prob, "eig_two_stage", False))
+                and not getattr(self.prob, "eig_two_stage", False)
+                and getattr(self.prob, "fuse_step", True))
 
     # ------------------------------------------------------------------
     # predictors

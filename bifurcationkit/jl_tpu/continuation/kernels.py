@@ -50,6 +50,12 @@ def _pick_jac(prob, linsolver):
                                                  False):
         return prob.jacobian
     if isinstance(linsolver, IterativeRefinement):
+        # problems whose jac_op ALREADY returns a PairedOperator (the MF
+        # minimally-augmented functionals) supply their own low twin —
+        # building one here via dF would re-enter the sigma solves at cast
+        # primals, doubling the per-iteration bordered-solve count
+        if getattr(prob, "jac_op_paired", False):
+            return prob.jacobian_operator
         # mixed-precision refinement: pair the accurate jvp operator with a
         # twin built at cast (low-precision) primals, so the inner Krylov
         # runs natively at that precision on TPU
@@ -304,7 +310,7 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
     def secant_tangent(z_new: BorderedState, z_old: BorderedState, ds):
         d = tree_sub(z_new, z_old)
         nrm = dot_t.norm_bs(d, theta, n_state)
-        alpha = jnp.sign(ds) / jnp.maximum(nrm, 1e-300)
+        alpha = jnp.sign(ds) / jnp.maximum(nrm, float(jnp.finfo(nrm.dtype).tiny))
         return BorderedState(u=tree_scale(d.u, alpha), p=d.p * alpha)
 
     @jax.jit
@@ -318,7 +324,7 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
         nrm = jnp.sqrt(dotp(tu, tu) * theta + tp * tp * (1.0 - theta))
         orient = jnp.sign(dotp(tau_prev.u, tu) * theta
                           + tau_prev.p * tp * (1.0 - theta))
-        alpha = orient / jnp.maximum(nrm, 1e-300)
+        alpha = orient / jnp.maximum(nrm, float(jnp.finfo(nrm.dtype).tiny))
         return BorderedState(u=tree_scale(tu, alpha), p=tp * alpha)
 
     # ------------------------------------------------------------------

@@ -434,8 +434,9 @@ class ArnoldiEig:
         def one_factorization(v_start):
             V = jnp.zeros((m + 1, n), dtype)
             H = jnp.zeros((m + 1, m), dtype)
+            tiny = float(jnp.finfo(dtype).tiny)  # f32-safe guard
             nrm = jnp.linalg.norm(v_start)
-            V = V.at[0].set(v_start / jnp.maximum(nrm, 1e-300))
+            V = V.at[0].set(v_start / jnp.maximum(nrm, tiny))
 
             def step(j, VH):
                 V, H = VH
@@ -451,7 +452,8 @@ class ArnoldiEig:
                 h = h1 + h2
                 beta = jnp.linalg.norm(w)
                 H = H.at[:, j].set(h.at[j + 1].set(beta))
-                V = V.at[j + 1].set(w / jnp.maximum(beta, 1e-300))
+                V = V.at[j + 1].set(jnp.where(
+                    beta > tiny, w / jnp.maximum(beta, tiny), 0.0))
                 return V, H
 
             V, H = jax.lax.fori_loop(0, m, step, (V, H))
@@ -482,7 +484,8 @@ class ArnoldiEig:
                 # f64 @ c64 promotes to c128, which the TPU compiler rejects
                 wsum = jnp.real(V[:m].T.astype(cdtype)
                                 @ jnp.sum(y[:, :nev], axis=1)).astype(dtype)
-                v_new = wsum / jnp.maximum(jnp.linalg.norm(wsum), 1e-300)
+                v_new = wsum / jnp.maximum(jnp.linalg.norm(wsum),
+                                           float(jnp.finfo(dtype).tiny))
                 V2, H2 = one_factorization(v_new)
                 vals2, y2, resid2 = ritz_callback(H2[:m, :m], H2[m, m - 1])
                 return V2, vals2, y2, resid2

@@ -188,6 +188,10 @@ def _gmres_flat(matvec, b, restart, maxiter, rtol, atol):
     """Flat-vector restarted GMRES.  Returns (x, final_resnorm, n_matvec)."""
     n = b.shape[0]
     dtype = b.dtype
+    # dtype-aware division guard: the f64 habit of 1e-300 UNDERFLOWS TO
+    # ZERO in f32, turning every Krylov breakdown (h_{j+1,j} -> 0, i.e.
+    # the happy exact-solve case) into w / 0 = NaN
+    tiny = float(jnp.finfo(dtype).tiny)
     m = min(restart, n)
     b_norm = jnp.linalg.norm(b)
     tol = jnp.maximum(rtol * b_norm, atol)
@@ -204,7 +208,7 @@ def _gmres_flat(matvec, b, restart, maxiter, rtol, atol):
         cs = jnp.zeros((m,), dtype)
         sn = jnp.zeros((m,), dtype)
         g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
-        V = V.at[0].set(jnp.where(beta > 0, r / jnp.maximum(beta, 1e-300), r))
+        V = V.at[0].set(jnp.where(beta > 0, r / jnp.maximum(beta, tiny), r))
 
         def arnoldi_step(state):
             j, V, H, cs, sn, g, res = state
@@ -221,7 +225,9 @@ def _gmres_flat(matvec, b, restart, maxiter, rtol, atol):
             h = h1 + h2
             hlast = jnp.linalg.norm(w)
             h = h.at[j + 1].set(hlast)
-            V = V.at[j + 1].set(w / jnp.maximum(hlast, 1e-300))
+            V = V.at[j + 1].set(jnp.where(hlast > tiny,
+                                          w / jnp.maximum(hlast, tiny),
+                                          0.0))
 
             # apply previous Givens rotations to the new column
             def rot(i, h):
@@ -234,8 +240,8 @@ def _gmres_flat(matvec, b, restart, maxiter, rtol, atol):
 
             # new rotation to zero h[j+1]
             denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
-            c = jnp.where(denom > 0, h[j] / jnp.maximum(denom, 1e-300), 1.0)
-            s = jnp.where(denom > 0, h[j + 1] / jnp.maximum(denom, 1e-300), 0.0)
+            c = jnp.where(denom > 0, h[j] / jnp.maximum(denom, tiny), 1.0)
+            s = jnp.where(denom > 0, h[j + 1] / jnp.maximum(denom, tiny), 0.0)
             h = h.at[j].set(c * h[j] + s * h[j + 1]).at[j + 1].set(0.0)
             cs2 = cs.at[j].set(c)
             sn2 = sn.at[j].set(s)
@@ -300,6 +306,7 @@ class BiCGStab:
             b, _ = ravel(self.precond(unravel(flat_rhs)))
         b_norm = jnp.linalg.norm(b)
         tol = jnp.maximum(self.rtol * b_norm, self.atol)
+        tiny = float(jnp.finfo(b.dtype).tiny)   # f32-safe division guard
 
         x0 = jnp.zeros_like(b)
         r0 = b
@@ -308,16 +315,16 @@ class BiCGStab:
         def body(carry):
             x, r, p, v, rho, alpha, omega, k, _ = carry
             rho1 = jnp.vdot(rhat, r)
-            beta = (rho1 / jnp.where(rho == 0, 1e-300, rho)) * (
-                alpha / jnp.where(omega == 0, 1e-300, omega))
+            beta = (rho1 / jnp.where(rho == 0, tiny, rho)) * (
+                alpha / jnp.where(omega == 0, tiny, omega))
             p = r + beta * (p - omega * v)
             v = matvec(p)
-            alpha = rho1 / jnp.where(jnp.vdot(rhat, v) == 0, 1e-300,
+            alpha = rho1 / jnp.where(jnp.vdot(rhat, v) == 0, tiny,
                                      jnp.vdot(rhat, v))
             s = r - alpha * v
             t = matvec(s)
             tt = jnp.vdot(t, t)
-            omega = jnp.vdot(t, s) / jnp.where(tt == 0, 1e-300, tt)
+            omega = jnp.vdot(t, s) / jnp.where(tt == 0, tiny, tt)
             x = x + alpha * p + omega * s
             r = s - omega * t
             res = jnp.linalg.norm(r)

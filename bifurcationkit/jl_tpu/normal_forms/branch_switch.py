@@ -27,10 +27,13 @@ def continuation_from_bp(br, ind_bif: int,
                          alg=None, *, delta_p: Optional[float] = None,
                          ampfactor: float = 1.0, use_normal_form: bool = True,
                          nev: Optional[int] = None, verbose: bool = False,
+                         nf_kwargs: Optional[dict] = None,
                          **cont_kwargs) -> Branch:
     """Branch switching at a simple branch point (aBS)
     (ref continuation(br, ind_bif, ...), src/bifdiagram/BranchSwitching.jl:74).
-    """
+    `nf_kwargs` passes through to the normal-form computation — e.g.
+    `{"matrix_free": True}` for the PDE-scale route (the reference's
+    `get_normal_form(br, 19)` + aBS at 15,100 dof, SH2d-fronts.jl:95)."""
     prob = br.prob
     contparams = contparams or br.contparams
     alg = alg or PALC()
@@ -39,7 +42,8 @@ def continuation_from_bp(br, ind_bif: int,
         raise ValueError("use periodic-orbit continuation (bk.periodic) to "
                          "branch from a Hopf point")
 
-    nf = get_normal_form(br, ind_bif, prob=prob, verbose=verbose)
+    nf = get_normal_form(br, ind_bif, prob=prob, verbose=verbose,
+                         **(nf_kwargs or {}))
     ds = delta_p if delta_p is not None else contparams.ds
     pred = predictor(nf, ds, ampfactor=ampfactor, verbose=verbose)
     if pred is None:

@@ -75,9 +75,18 @@ class FloquetColl:
     denormalize f64 (the stabilized form of the :653-660 chain).
 
     Expects `eig_jacobian` to hand over the COPBlocks
-    (periodic_orbit_problem(..., use_cop=True, floquet="coll"))."""
+    (periodic_orbit_problem(..., use_cop=True, floquet="coll")).
+
+    `low_dtype=jnp.float32` runs the stage-1 factorizations + product at
+    f32 (native MXU LU — the f64 path lowers to the 2x-flop QR fallback on
+    TPU): multipliers carry ~1e-4 relative error, ample for count-based
+    detection at tol_stability >= 1e-3 (the same accuracy argument as the
+    engine's f32 stability sweeps, kernels.py eig_dtype); keep the f64
+    default when bisection-localizing PD/NS to tight multiplier
+    tolerances."""
 
     is_floquet: bool = True
+    low_dtype: object = None
 
     def device_reduce(self, blocks):
         """Stage-1 elimination + renormalized monodromy product, entirely
@@ -90,15 +99,17 @@ class FloquetColl:
         (kernels.py::eig_kernel): it avoids both the sequential device
         Francis-QR (latency-bound on a tunneled chip) and the complex64
         precision cap of TPU device complex."""
-        from .cop import cop_interval_maps
+        from .cop import _cast_blocks, cop_interval_maps
 
+        if self.low_dtype is not None:
+            blocks = _cast_blocks(blocks, self.low_dtype)
         S = cop_interval_maps(blocks)              # (Ntst, n, n)
         n = S.shape[-1]
 
         def chain(carry, Sj):
             P, logs = carry
             P = Sj @ P
-            s = jnp.maximum(jnp.max(jnp.abs(P)), 1e-300)
+            s = jnp.maximum(jnp.max(jnp.abs(P)), float(jnp.finfo(P.dtype).tiny))
             return (P / s, logs + jnp.log(s)), None
 
         (P, logs), _ = jax.lax.scan(

@@ -57,7 +57,8 @@ def main(N=256):
     t0 = time.time()
     sol = bk.newton(prob, bk.NewtonPar(tol=tol_n, max_iterations=25,
                                        linsolver=ls))
-    print(f"Newton ({N*N} dof, matrix-free GMRES + spectral precond): "
+    ndof = int(np.prod(np.asarray(prob.u0).shape))
+    print(f"Newton ({ndof} dof, matrix-free GMRES + spectral precond): "
           f"converged={bool(sol.converged)} in {int(sol.itnewton)} iters, "
           f"{time.time()-t0:.1f}s (incl. compile)")
 
@@ -83,7 +84,9 @@ def main(N=256):
                                precond=prob.spectral_precond),
             compute_dtype=np.float32 if on_tpu else None)
     cp = bk.ContinuationPar(ds=-0.005, dsmax=0.02, dsmin=1e-6, p_min=-0.8,
-                            p_max=0.2, max_steps=60, nev=12,
+                            p_max=0.2,
+                            max_steps=int(os.environ.get(
+                                "SH2D_BRANCH_STEPS", "60")), nev=12,
                             detect_bifurcation=3 if on_tpu else 0,
                             detect_fold=True,
                             newton_options=bk.NewtonPar(
@@ -107,8 +110,42 @@ def main(N=256):
     # jacobian_ma = MinAug() + BorderingBLS): sigma / Govaerts corrector /
     # anchors / per-step spectrum all through preconditioned GMRES on the
     # extended operator — nothing materializes a matrix.
+    # --- PDE-scale normal form + aBS (the reference's
+    # `get_normal_form(br, 19)` + branch switch at 15,100 dof,
+    # ref examples/SH2d-fronts.jl:95): adjoint basis by bordered inverse
+    # iteration (vjp transpose + Rayleigh refinement), Lyapunov-Schmidt
+    # projections via preconditioned GMRES — no dense_eig, no materialized
+    # jacobian.
+    bps = [sp for sp in br.specialpoint if sp.type == "bp"]
+    if os.environ.get("SH2D_ABS", "1") == "1" and bps:
+        from bifurcationkit.jl_tpu.normal_forms.branch_switch import \
+            continuation_from_bp
+
+        idx_bp = br.specialpoint.index(bps[0])
+        t0 = time.time()
+        nf = bk.get_normal_form(br, idx_bp, matrix_free=True)
+        print(f"MF normal form at bp (l = {bps[0].param:.5f}): "
+              f"{type(nf).__name__}, b11 = {nf.nf['b11']:.5g}, "
+              f"b30/6 = {nf.nf['b30']/6:.5g} ({time.time()-t0:.1f}s)")
+        cp_abs = bk.ContinuationPar(
+            ds=-0.004, dsmax=0.01, dsmin=1e-7, p_min=-0.8, p_max=0.2,
+            max_steps=int(os.environ.get("SH2D_ABS_STEPS", "6")),
+            detect_bifurcation=0, detect_fold=False,
+            newton_options=bk.NewtonPar(tol=tol_c, max_iterations=20,
+                                        linsolver=ls))
+        t0 = time.time()
+        b2 = continuation_from_bp(br, idx_bp, cp_abs, delta_p=-0.003,
+                                  nf_kwargs={"matrix_free": True})
+        print(f"aBS branch from bp: {len(b2)} steps in "
+              f"{time.time()-t0:.1f}s; l:",
+              np.round(np.asarray(b2.gamma._table()['param'])[:5], 5))
+
     folds = br.get_special_points("fold")
     if os.environ.get("SH2D_FOLD_CURVE", "1") == "1" and folds:
+        if on_tpu:
+            # release the branch leg's compiled programs before the MA
+            # compile (the tunneled worker has limited program memory)
+            jax.clear_caches()
         idx = br.specialpoint.index(folds[0])
         cp2 = bk.ContinuationPar(
             ds=0.01, dsmax=0.03, dsmin=1e-6, p_min=0.5, p_max=2.0,
