@@ -231,22 +231,30 @@ def null_basis_iter(Jd, Jtd, seed, gmres, iters: int = 3,
     Returns (zeta, zeta_ad) with ||zeta|| = 1, ||zeta_ad|| = 1."""
     from ..codim2.minaug_mf import solve_bordered_ext
 
+    # jitted sweeps: spectral preconditioners (DCT/FFT) cannot run EAGERLY
+    # on the axon TPU backend (complex conversion primitives unimplemented
+    # outside jit), and jit also fuses the whole inverse-iteration sweep
+    @jax.jit
+    def _sweep(a, b, lam):
+        Js = lambda d: Jd(d) - lam * d      # noqa: E731
+        Jts = lambda d: Jtd(d) - lam * d    # noqa: E731
+        v, _, _ = solve_bordered_ext(Js, a, b, gmres)
+        w, _, _ = solve_bordered_ext(Jts, b, a, gmres)
+        return v / jnp.linalg.norm(v), w / jnp.linalg.norm(w)
+
+    @jax.jit
+    def _rayleigh(b):
+        return jnp.dot(b, Jd(b))
+
     b = jnp.asarray(seed)
     b = b / jnp.linalg.norm(b)
     a = b
+    zero = jnp.zeros(())
     for _ in range(iters):
-        v, _, _ = solve_bordered_ext(Jd, a, b, gmres)
-        w, _, _ = solve_bordered_ext(Jtd, b, a, gmres)
-        b = v / jnp.linalg.norm(v)
-        a = w / jnp.linalg.norm(w)
+        b, a = _sweep(a, b, zero)
     for _ in range(rayleigh_iters):
-        lam = jnp.dot(b, Jd(b))          # ||b|| = 1
-        Js = lambda d, lam=lam: Jd(d) - lam * d      # noqa: E731
-        Jts = lambda d, lam=lam: Jtd(d) - lam * d    # noqa: E731
-        v, _, _ = solve_bordered_ext(Js, a, b, gmres)
-        w, _, _ = solve_bordered_ext(Jts, b, a, gmres)
-        b = v / jnp.linalg.norm(v)
-        a = w / jnp.linalg.norm(w)
+        lam = _rayleigh(b)               # ||b|| = 1
+        b, a = _sweep(a, b, lam)
     return b, a
 
 
@@ -313,12 +321,21 @@ def get_normal_form1d(prob, br, ind_bif: int, verbose: bool = False,
             seed = rng.standard_normal(fp.n)
         else:
             seed = np.real(np.asarray(zeta))
+        # saved eigenvectors may be f32 (LOBPCG/Arnoldi compute_dtype
+        # sweeps); the bordered iteration runs at the state dtype
+        seed = np.asarray(seed, np.asarray(fp.flat0).dtype)
         zeta, zeta_ad = null_basis_iter(Jd, Jtd, jnp.asarray(seed), gm)
         L = None
 
+        @jax.jit
+        def _proj_solve(col, row, R, nb):
+            # jitted: the spectral precond cannot run eagerly on axon
+            return solve_bordered_ext(Jd, col, row, gm, rhs_top=R,
+                                      rhs_bot=nb)
+
         def bls(Lop, col, row, dzp, R, nb, dotp=None):
-            Psi, s, cv = solve_bordered_ext(Jd, col, row, gm, rhs_top=R,
-                                            rhs_bot=nb)
+            Psi, s, cv = _proj_solve(col, row, jnp.asarray(R),
+                                     jnp.asarray(nb, R.dtype))
             return Psi, s, cv, jnp.array(0)
     else:
         bls = bls or MatrixBLS()

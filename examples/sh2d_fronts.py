@@ -148,17 +148,19 @@ def main(N=256):
             jax.clear_caches()
         idx = br.specialpoint.index(folds[0])
         cp2 = bk.ContinuationPar(
-            ds=0.01, dsmax=0.03, dsmin=1e-6, p_min=0.5, p_max=2.0,
-            max_steps=int(os.environ.get("SH2D_FOLD_STEPS", "25")),
+            ds=0.01, dsmax=float(os.environ.get("SH2D_FOLD_DSMAX", "0.02")),
+            dsmin=1e-6, p_min=0.5, p_max=2.0,
+            max_steps=int(os.environ.get("SH2D_FOLD_STEPS", "30")),
             detect_bifurcation=0, detect_fold=False,
             newton_options=bk.NewtonPar(
-                tol=tol_c, max_iterations=15,
+                tol=tol_c, max_iterations=20,
                 linsolver=bk.GMRES(restart=40, maxiter=400, rtol=1e-9,
                                    precond=prob.spectral_precond)))
         t0 = time.time()
-        brf = bk.continuation_fold(br, idx, "nu", cp2,
-                                   detect_codim2_bifurcation=2,
-                                   jacobian_ma="minaug")
+        brf = bk.continuation_fold(
+            br, idx, "nu", cp2, detect_codim2_bifurcation=2,
+            jacobian_ma="minaug",
+            verbosity=int(os.environ.get("SH2D_FOLD_VERBOSE", "0")))
         dt = time.time() - t0
         tbl = brf.gamma._table()
         print(f"MF fold curve (nu, l): {len(brf)} steps in {dt:.1f}s = "

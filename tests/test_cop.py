@@ -338,3 +338,26 @@ def test_continuation_po_cop_mixed_precision():
     p64 = run(None)
     pmx = run(jnp.float32)
     np.testing.assert_allclose(pmx, p64, atol=1e-8)
+
+
+def test_floquet_coll_low_dtype_parity():
+    """FloquetColl(low_dtype=f32): f32 stage-1 + product, f64 host eig of
+    the reduction — exponents within ~1e-5 of the all-f64 path (ample for
+    count-based detection at tol_stability >= 1e-3)."""
+    prob, disc, X0, _ = _setup()
+    po = periodic_orbit_problem(prob, disc, X0, use_cop=True,
+                                floquet="coll")
+    blocks = po.jacobian(X0, po.params)
+    f64 = bk.FloquetColl()
+    f32 = bk.FloquetColl(low_dtype=jnp.float32)
+    e64, _, cv64, _ = f64.host_eig(
+        *[np.asarray(r) for r in f64.device_reduce(blocks)], 2)
+    e32, _, cv32, _ = f32.host_eig(
+        *[np.asarray(r) for r in f32.device_reduce(blocks)], 2)
+    assert cv64 and cv32
+    # only the DETECTION-relevant window is comparable: multipliers below
+    # ~eps_f32 * ||P|| (exponents < ~-16) are unrepresentable noise in the
+    # f32 reduction, and irrelevant to stability counting either way
+    win = np.real(e64) > -10
+    assert win.any()
+    assert np.max(np.abs(e64[win] - e32[win])) < 1e-4
