@@ -148,7 +148,8 @@ def main(N=256):
             jax.clear_caches()
         idx = br.specialpoint.index(folds[0])
         cp2 = bk.ContinuationPar(
-            ds=0.01, dsmax=float(os.environ.get("SH2D_FOLD_DSMAX", "0.02")),
+            ds=float(os.environ.get("SH2D_FOLD_DS", "0.01")),
+            dsmax=float(os.environ.get("SH2D_FOLD_DSMAX", "0.02")),
             dsmin=1e-6, p_min=0.5, p_max=2.0,
             max_steps=int(os.environ.get("SH2D_FOLD_STEPS", "30")),
             detect_bifurcation=0, detect_fold=False,
