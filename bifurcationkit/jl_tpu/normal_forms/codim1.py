@@ -258,6 +258,69 @@ def null_basis_iter(Jd, Jtd, seed, gmres, iters: int = 3,
     return b, a
 
 
+def hopf_null_basis_iter(Jd, Jtd, omega, seed_r, seed_i, gm2,
+                         iters: int = 3, rayleigh_iters: int = 2):
+    """Matrix-free (right, left) eigenvector pair of a real operator J at
+    the complex eigenvalue nearest ``i*omega`` by bordered inverse
+    iteration in the real embedding: each sweep solves the extended
+    bordered systems [J - (alpha + i om) I, a; b^H, 0][v; s] = [0; 1]
+    (forward) and its adjoint — nonsingular even where J - i om I is
+    exactly singular — then re-anchors; `rayleigh_iters` extra sweeps with
+    the complex Rayleigh-quotient shift lock onto the EXACT pair (cubic
+    convergence), refining omega along the way.  The PDE-scale replacement
+    for the dense path's two `np.linalg.eig` calls (ref the reference
+    computing the same pair through its eigensolver abstraction,
+    src/NormalForms.jl:1009-1064).
+
+    Returns (zr, zi, wr, wi, alpha, omega_ref): zeta = zr + i*zi (right,
+    ||zeta|| = 1), w = wr + i*wi (left, ||w|| = 1, UNnormalized against
+    zeta), and the refined eigenvalue alpha + i*omega_ref (omega_ref > 0)."""
+    from ..codim2.minaug_mf import solve_bordered_ext_cplx
+
+    # jitted sweeps: spectral preconditioners cannot run eagerly on the
+    # axon TPU backend, and jit fuses the paired bordered solves
+    @jax.jit
+    def _sweep(ar, ai, br_, bi, alpha, om):
+        Js = lambda d: Jd(d) - alpha * d     # noqa: E731
+        Jts = lambda d: Jtd(d) - alpha * d   # noqa: E731
+        vr, vi, _, _, _ = solve_bordered_ext_cplx(Js, -om, ar, ai, br_, bi,
+                                                  gm2)
+        wr, wi, _, _, _ = solve_bordered_ext_cplx(Jts, om, br_, bi, ar, ai,
+                                                  gm2)
+        nv = jnp.sqrt(jnp.dot(vr, vr) + jnp.dot(vi, vi))
+        nw = jnp.sqrt(jnp.dot(wr, wr) + jnp.dot(wi, wi))
+        return vr / nv, vi / nv, wr / nw, wi / nw
+
+    @jax.jit
+    def _rayleigh(zr, zi):
+        # lambda = z^H J z with ||z|| = 1  (J real)
+        Jzr, Jzi = Jd(zr), Jd(zi)
+        al = jnp.dot(zr, Jzr) + jnp.dot(zi, Jzi)
+        om = jnp.dot(zr, Jzi) - jnp.dot(zi, Jzr)
+        return al, om
+
+    zr = jnp.asarray(seed_r)
+    zi = jnp.asarray(seed_i)
+    nrm = jnp.sqrt(jnp.dot(zr, zr) + jnp.dot(zi, zi))
+    zr, zi = zr / nrm, zi / nrm
+    ar, ai = zr, zi
+    alpha = jnp.zeros(())
+    om = jnp.asarray(omega, zr.dtype)
+    for _ in range(iters):
+        zr, zi, ar, ai = _sweep(ar, ai, zr, zi, alpha, om)
+    for _ in range(rayleigh_iters):
+        alpha, om = _rayleigh(zr, zi)
+        if float(om) < 0:
+            # omega > 0 convention: conjugate the iterate
+            zi, ai, om = -zi, -ai, -om
+        zr, zi, ar, ai = _sweep(ar, ai, zr, zi, alpha, om)
+    alpha, om_ref = _rayleigh(zr, zi)
+    if float(om_ref) < 0:
+        zr, zi, ar, ai = zr, -zi, ar, -ai
+        om_ref = -om_ref
+    return zr, zi, ar, ai, float(alpha), float(om_ref)
+
+
 def _bifpoint_eigen(br, sp, which: Optional[int] = None):
     """Eigen-elements at a special point: prefer those stored on the point."""
     ind = sp.ind_ev if which is None else which
@@ -413,7 +476,8 @@ def get_normal_form1d(prob, br, ind_bif: int, verbose: bool = False,
 # ---------------------------------------------------------------------------
 
 
-def hopf_normal_form(prob, br, ind_hopf: int, verbose: bool = False):
+def hopf_normal_form(prob, br, ind_hopf: int, verbose: bool = False,
+                     **kwargs):
     sp = br.specialpoint[ind_hopf]
     if sp.type != "hopf":
         raise ValueError(f"point {ind_hopf} is not a Hopf point "
@@ -425,15 +489,34 @@ def hopf_normal_form(prob, br, ind_hopf: int, verbose: bool = False):
         zeta = None if zeta is None else np.conj(zeta)
     return hopf_normal_form_point(prob, sp.x, sp.param,
                                   omega=float(np.imag(lam)), zeta=zeta,
-                                  tau=sp.tau, verbose=verbose)
+                                  tau=sp.tau, verbose=verbose, **kwargs)
 
 
 def hopf_normal_form_point(prob, x, p, omega, zeta=None, tau=None,
-                           verbose: bool = False):
+                           verbose: bool = False,
+                           matrix_free: bool = False, precond=None,
+                           gmres_opts: Optional[dict] = None,
+                           low_dtype="auto",
+                           eig_iters: int = 3, rayleigh_iters: int = 2):
     """Hopf normal form from a raw point (x, p, omega) — the core used both
     for branch special points and for points ON a codim-2 Hopf curve
     (ref hopf_normal_form, src/NormalForms.jl:987-1205; the from-curve use is
-    continuation(br_hopf, ind, ...) at src/periodicorbit/PeriodicOrbits.jl)."""
+    continuation(br_hopf, ind, ...) at src/periodicorbit/PeriodicOrbits.jl).
+
+    With `matrix_free=True` NOTHING materializes the jacobian — the PDE-scale
+    route the reference takes through its linear-solver abstraction (the
+    shifted solve `ls(L, R20; a0=2im*omega, a1=-1)` and the iterative
+    eigensolves, ref src/NormalForms.jl:1009-1100): (zeta, zeta*) come from
+    complex bordered inverse iteration (`hopf_null_basis_iter`, vjp
+    transpose), Psi001/Psi110 run preconditioned GMRES on J / -J, Psi200
+    the real-embedded (2i*omega - J) solve, and `a` uses the exact
+    parameter jvp.  `low_dtype=jnp.float32` (the TPU "auto" default) runs
+    every Krylov matvec on an f32 twin with f64 residual refinement."""
+    if matrix_free:
+        return _hopf_normal_form_point_mf(
+            prob, x, p, omega, zeta=zeta, tau=tau, verbose=verbose,
+            precond=precond, gmres_opts=gmres_opts, low_dtype=low_dtype,
+            eig_iters=eig_iters, rayleigh_iters=rayleigh_iters)
     # every complex operation below runs in NUMPY on the host: the axon
     # TPU backend has no complex linalg and cannot transfer complex
     # arrays; only REAL directions go through the device jets
@@ -491,6 +574,187 @@ def hopf_normal_form_point(prob, x, p, omega, zeta=None, tau=None,
               zeta_star=zeta_ad, omega=omega, prob=prob,
               nf={"a": a, "b": b, "Psi001": Psi001, "Psi110": Psi110,
                   "Psi200": Psi200})
+    hp.subtype = ("SuperCritical" if b.real < 0 else
+                  "SubCritical" if b.real > 0 else "Singular")
+    hp.tau = tau
+    hp.unravel = fp.unravel
+    return hp
+
+
+def _hopf_normal_form_point_mf(prob, x, p, omega, zeta=None, tau=None,
+                               verbose: bool = False, precond=None,
+                               gmres_opts: Optional[dict] = None,
+                               low_dtype="auto", eig_iters: int = 3,
+                               rayleigh_iters: int = 2):
+    """Matrix-free Hopf normal form (see hopf_normal_form_point docstring).
+    All complex arithmetic is real-split on device; the three Psi solves
+    are the same preconditioned-GMRES kernels as the MF GH test
+    (make_l1_kernel_mf, codim2/minaug_mf.py) — here with the (a, Psi001)
+    parameter terms the predictor needs (ref src/NormalForms.jl:1037-1064)."""
+    from ..codim2.minaug_mf import (_cast_tree, _ir_solve, _make_ma_gmres,
+                                    ext_precond2)
+
+    parbif = prob.set_lens_param(prob.params, p)
+    fp = _FlatProblem(prob, x, parbif)
+    n = fp.n
+    if precond is None:
+        precond = getattr(prob, "spectral_precond", None)
+    if low_dtype == "auto":
+        # mixed precision pays only where f64 is emulated (TPU)
+        low_dtype = jnp.float32 if jax.default_backend() == "tpu" else None
+    lo = low_dtype
+
+    Jd = lambda d: fp.dF(d)                       # noqa: E731
+    Jtd = lambda d: ravel(prob.dFt(               # noqa: E731
+        fp.unravel(fp.flat0), parbif, fp.unravel(d)))[0]
+
+    gm2 = _make_ma_gmres(precond, n, 2, gmres_opts)
+    o = dict(restart=40, maxiter=240, rtol=1e-10, atol=1e-14)
+    if gmres_opts:
+        o.update(gmres_opts)
+    from ..linalg.linear import GMRES
+
+    pre1 = ((lambda v: ravel(precond(v))[0]) if precond is not None
+            else None)
+    gm_n = GMRES(precond=pre1, **o)
+    gm_2n = GMRES(precond=ext_precond2(precond, n)
+                  if precond is not None else None, **o)
+    gm_n_lo = gm_2n_lo = None
+    Jd_lo = None
+    if lo is not None:
+        lo_o = dict(o)
+        lo_o["rtol"] = max(float(lo_o.get("rtol", 1e-10)), 3e-5)
+        lo_o["atol"] = 0.0
+        gm_n_lo = GMRES(precond=pre1, restart=lo_o["restart"],
+                        maxiter=lo_o["maxiter"], rtol=lo_o["rtol"],
+                        atol=0.0)
+        gm_2n_lo = GMRES(precond=ext_precond2(precond, n)
+                         if precond is not None else None,
+                         restart=lo_o["restart"], maxiter=lo_o["maxiter"],
+                         rtol=lo_o["rtol"], atol=0.0)
+        xs_lo = _cast_tree(fp.unravel(fp.flat0), lo)
+        par_lo = _cast_tree(parbif, lo)
+        Jd_lo = lambda d: ravel(prob.dF(xs_lo, par_lo,   # noqa: E731
+                                        fp.unravel(d)))[0]
+
+    def _solve_n(op_hi, op_lo, rhs):
+        """Mixed-precision (or plain) GMRES solve of op_hi x = rhs."""
+        if lo is not None:
+            sol, _ = _ir_solve(op_hi, op_lo, rhs, gm_n_lo, lo)
+            return sol
+        sol, _, _ = gm_n(op_hi, rhs)
+        return sol
+
+    def _solve_2n(op_hi, op_lo, rhs):
+        if lo is not None:
+            sol, _ = _ir_solve(op_hi, op_lo, rhs, gm_2n_lo, lo)
+            return sol
+        sol, _, _ = gm_2n(op_hi, rhs)
+        return sol
+
+    # (zeta, zeta*) by complex bordered inverse iteration from the best seed
+    if zeta is None:
+        rng = np.random.default_rng(23)
+        seed_r = rng.standard_normal(n)
+        seed_i = rng.standard_normal(n)
+    else:
+        zc = np.asarray(zeta)
+        seed_r, seed_i = np.real(zc), np.imag(zc)
+    dt = np.asarray(fp.flat0).dtype
+    seed_r = jnp.asarray(np.asarray(seed_r, dt))
+    seed_i = jnp.asarray(np.asarray(seed_i, dt))
+    if not bool(jnp.any(seed_i != 0)):
+        # a purely-real seed collapses the complex iteration onto a real
+        # ray; rotate a quarter period via J (z_i ~ J z_r / omega)
+        seed_i = jax.jit(Jd)(seed_r) / jnp.maximum(abs(omega), 1e-8)
+    zr, zi, wr, wi, alpha, om_ref = hopf_null_basis_iter(
+        Jd, Jtd, omega, seed_r, seed_i, gm2, iters=eig_iters,
+        rayleigh_iters=rayleigh_iters)
+    om = om_ref if abs(om_ref - abs(omega)) < 0.2 * abs(om_ref) + 1e-8 \
+        else abs(omega)
+
+    p_arr = jnp.asarray(p, dt)
+
+    @jax.jit
+    def _nf_kernel(zr, zi, wr, wi, om):
+        # zeta_ad scaled so <zeta, zeta_ad> = sum(conj(zeta) zeta_ad) = 1
+        cr = jnp.dot(zr, wr) + jnp.dot(zi, wi)
+        ci = jnp.dot(zr, wi) - jnp.dot(zi, wr)
+        c2 = cr * cr + ci * ci
+        ar = (wr * cr + wi * ci) / c2
+        ai = (wi * cr - wr * ci) / c2
+
+        d2 = lambda a, b: fp.d2F(a, b)            # noqa: E731
+        d3 = lambda a, b, c: fp.d3F(a, b, c)      # noqa: E731
+
+        # Psi001 = J^{-1} (-R01)   (J nonsingular at a Hopf point)
+        R01 = fp.dFdp_at(p_arr)
+        Psi001 = _solve_n(Jd, Jd_lo, -R01)
+
+        # a = <R11(zeta) + 2 R2(zeta, Psi001), zeta_ad>
+        av_r = fp.dFdp_dir(zr, p_arr) + d2(zr, Psi001)
+        av_i = fp.dFdp_dir(zi, p_arr) + d2(zi, Psi001)
+        a_re = jnp.dot(av_r, ar) + jnp.dot(av_i, ai)
+        a_im = jnp.dot(av_r, ai) - jnp.dot(av_i, ar)
+
+        # R20 = R2(z, z) (complex), R11c = R2(z, conj z) (real)
+        R20_r = 0.5 * (d2(zr, zr) - d2(zi, zi))
+        R20_i = d2(zr, zi)
+        R11c = 0.5 * (d2(zr, zr) + d2(zi, zi))
+
+        # Psi200: (2 i om - J) Psi = R20, real embedding
+        def op2(zv):
+            pr, pi = zv[:n], zv[n:]
+            return jnp.concatenate([-Jd(pr) - 2 * om * pi,
+                                    -Jd(pi) + 2 * om * pr])
+
+        op2_lo = None
+        if Jd_lo is not None:
+            om_lo = om.astype(lo) if hasattr(om, "astype") \
+                else jnp.asarray(om, lo)
+
+            def op2_lo(zv):
+                pr, pi = zv[:n], zv[n:]
+                return jnp.concatenate([-Jd_lo(pr) - 2 * om_lo * pi,
+                                        -Jd_lo(pi) + 2 * om_lo * pr])
+
+        sol2 = _solve_2n(op2, op2_lo, jnp.concatenate([R20_r, R20_i]))
+        P200_r, P200_i = sol2[:n], sol2[n:]
+
+        # Psi110: -J Psi = 2 R2(z, conj z)
+        negJ = lambda d: -Jd(d)                   # noqa: E731
+        negJ_lo = (lambda d: -Jd_lo(d)) if Jd_lo is not None else None
+        P110 = _solve_n(negJ, negJ_lo, 2.0 * R11c)
+
+        # bv = 2 R2(z, Psi110) + 2 R2(conj z, Psi200) + 3 R3(z, z, conj z)
+        bv_r = (d2(zr, P110)
+                + (d2(zr, P200_r) + d2(zi, P200_i))
+                + 0.5 * (d3(zr, zr, zr) + d3(zi, zi, zr)))
+        bv_i = (d2(zi, P110)
+                + (d2(zr, P200_i) - d2(zi, P200_r))
+                + 0.5 * (d3(zr, zr, zi) + d3(zi, zi, zi)))
+        b_re = jnp.dot(bv_r, ar) + jnp.dot(bv_i, ai)
+        b_im = jnp.dot(bv_r, ai) - jnp.dot(bv_i, ar)
+        return (a_re, a_im, b_re, b_im, ar, ai, Psi001, P110,
+                P200_r, P200_i)
+
+    (a_re, a_im, b_re, b_im, ar, ai, Psi001, P110, P200_r,
+     P200_i) = _nf_kernel(zr, zi, wr, wi, jnp.asarray(om, dt))
+
+    a = complex(float(a_re), float(a_im))
+    b = complex(float(b_re), float(b_im))
+    zeta_c = np.asarray(zr) + 1j * np.asarray(zi)
+    zeta_ad_c = np.asarray(ar) + 1j * np.asarray(ai)
+    Psi200 = np.asarray(P200_r) + 1j * np.asarray(P200_i)
+
+    if verbose:
+        print(f"Hopf normal form (matrix-free): a={a:.6g}, b={b:.6g} "
+              f"({'supercritical' if b.real < 0 else 'subcritical'})")
+
+    hp = Hopf(x0=fp.flat0, p=p, params=parbif, lens=prob.lens, zeta=zeta_c,
+              zeta_star=zeta_ad_c, omega=float(om), prob=prob,
+              nf={"a": a, "b": b, "Psi001": np.asarray(Psi001),
+                  "Psi110": np.asarray(P110), "Psi200": Psi200})
     hp.subtype = ("SuperCritical" if b.real < 0 else
                   "SubCritical" if b.real > 0 else "Singular")
     hp.tau = tau

@@ -277,14 +277,18 @@ def continuation_po(prob_vf, disc, X0, contparams: ContinuationPar,
 def continuation_hopf_po(br, ind_hopf: int, contparams: ContinuationPar,
                          disc=None, alg=None, delta_p: float = None,
                          ampfactor: float = 1.0, use_cop: bool = False,
+                         nf_kwargs: Optional[dict] = None,
                          **kwargs) -> Branch:
     """Automatic branch switching Hopf -> periodic orbits
     (ref continuation(br, ind_hopf, contparams, disc),
     PeriodicOrbits.jl:395-624): normal-form predictor seeds the orbit guess.
-    """
+
+    `nf_kwargs={"matrix_free": True}` computes the seeding Hopf normal form
+    without materializing the jacobian (the reference's PDE-scale route,
+    ref src/NormalForms.jl:1037-1064 through the solver abstraction)."""
     disc = disc or Collocation(Ntst=20, m=4)
     prob_vf = br.prob
-    hp = hopf_normal_form(prob_vf, br, ind_hopf)
+    hp = hopf_normal_form(prob_vf, br, ind_hopf, **(nf_kwargs or {}))
     return _continuation_hopf_pred(prob_vf, hp, contparams, disc, alg=alg,
                                    delta_p=delta_p, ampfactor=ampfactor,
                                    use_cop=use_cop, **kwargs)
@@ -326,6 +330,7 @@ def continuation_from_hopf_point(br_hopf, ind_pt: int,
                                  contparams: ContinuationPar, disc=None,
                                  alg=None, lens=None, delta_p: float = None,
                                  ampfactor: float = 1.0, use_cop: bool = False,
+                                 nf_kwargs: Optional[dict] = None,
                                  **kwargs) -> Branch:
     """Branch switching from a point ON a codim-2 Hopf curve to the periodic
     orbits emanating from it (ref continuation_from_hopf_point,
@@ -358,7 +363,16 @@ def continuation_from_hopf_point(br_hopf, ind_pt: int,
     prob_pt = prob_vf.re_make(u0=maprob.unravel_inner(jnp.asarray(x)),
                               params=params, lens=lens)
     p0 = prob_pt.get_lens_param(params)
-    hp = hopf_normal_form_point(prob_pt, prob_pt.u0, p0, abs(omega))
+    nf_kwargs = dict(nf_kwargs or {})
+    if getattr(maprob, "ma_mf", False):
+        # MF Hopf curves never materialized a jacobian — neither does the
+        # normal form: route through the operator path with the curve's
+        # preconditioner (ref the reference's PO switch consuming the
+        # solver-abstraction NF, src/periodicorbit/PeriodicOrbits.jl:395-417)
+        nf_kwargs.setdefault("matrix_free", True)
+        nf_kwargs.setdefault("precond", maprob.precond)
+    hp = hopf_normal_form_point(prob_pt, prob_pt.u0, p0, abs(omega),
+                                **nf_kwargs)
     disc = disc or Collocation(Ntst=20, m=4)
     return _continuation_hopf_pred(prob_pt, hp, contparams, disc, alg=alg,
                                    delta_p=delta_p, ampfactor=ampfactor,

@@ -275,3 +275,81 @@ def test_hopf_mf_cgl2d_curve():
         off = sigma_at(X, p2, p1, om + 0.2)
         assert on < 1e-3, f"step {k}: |sigma| = {on}"
         assert on < 1e-2 * off, f"step {k}: on {on} vs off {off}"
+
+
+def test_hopf_nf_mf_parity_cgl2d():
+    """Matrix-free Hopf normal form vs the dense host path at an EXACT
+    Hopf point: the cGL2d trivial state bifurcates at r* = -lambda_1(Delta)
+    with omega = nu exactly, so both routes see the same (x, p, omega) and
+    the (a, b) coefficients must agree to solver precision (the gateway to
+    PDE-scale Hopf->PO aBS, ref src/NormalForms.jl:1037-1064 computing the
+    same three Psi solves through the solver abstraction).  110 dof: the
+    dense path is exact at this size."""
+    from bifurcationkit.jl_tpu.normal_forms.codim1 import (
+        hopf_normal_form_point)
+
+    Nx, Ny = 11, 5
+    base = models.cgl2d(Nx=Nx, Ny=Ny, r=0.1, c3=1.0)
+    lx, ly = np.pi, np.pi / 2
+    hx, hy = 2 * lx / Nx, 2 * ly / Ny
+    lam1 = (2 * (np.cos(np.pi / (Nx + 1)) - 1) / hx ** 2
+            + 2 * (np.cos(np.pi / (Ny + 1)) - 1) / hy ** 2)
+    r_star = -lam1
+    omega = float(base.params["nu"])
+    x0 = jnp.zeros((2, Nx, Ny))
+
+    hp_d = hopf_normal_form_point(base, x0, r_star, omega)
+    hp_m = hopf_normal_form_point(base, x0, r_star, omega,
+                                  matrix_free=True,
+                                  precond=base.spectral_precond)
+    for key in ("a", "b"):
+        d, m = hp_d.nf[key], hp_m.nf[key]
+        assert abs(d - m) <= 1e-8 * max(abs(d), 1.0), \
+            f"{key}: dense {d} vs mf {m}"
+    assert abs(hp_m.omega - omega) < 1e-9
+    # the predictor consumes zeta and the Psi vectors: same orbit ansatz
+    # up to the zeta phase freedom -> compare the phase-invariant pieces
+    assert hp_m.subtype == hp_d.subtype
+    np.testing.assert_allclose(np.asarray(hp_m.nf["Psi001"]),
+                               np.asarray(hp_d.nf["Psi001"]), atol=1e-8)
+    np.testing.assert_allclose(np.real(np.asarray(hp_m.nf["Psi110"])),
+                               np.real(np.asarray(hp_d.nf["Psi110"])),
+                               atol=1e-7)
+
+
+def test_hopf_po_abs_mf_nf():
+    """Hopf->PO aBS seeded by the MATRIX-FREE normal form: the full
+    plumbing (nf_kwargs threading -> MF predictor -> collocation+COP
+    branch) on a small cGL2d (ref the PO switch consuming the NF,
+    src/periodicorbit/PeriodicOrbits.jl:395-417)."""
+    from bifurcationkit.jl_tpu.linalg.eig import ArnoldiEig
+
+    Nx, Ny = 11, 5
+    base = models.cgl2d(Nx=Nx, Ny=Ny, r=0.1, c3=1.0)
+    nopts = bk.NewtonPar(
+        tol=1e-9, max_iterations=25,
+        linsolver=bk.GMRES(restart=40, maxiter=400, rtol=1e-10,
+                           precond=base.spectral_precond),
+        eigsolver=ArnoldiEig(krylov_dim=40, restarts=4))
+    cp = bk.ContinuationPar(ds=0.02, dsmax=0.05, dsmin=1e-6, p_min=0.0,
+                            p_max=2.5, max_steps=60, detect_bifurcation=3,
+                            nev=8, n_inversion=4, newton_options=nopts)
+    br = bk.continuation(base, bk.PALC(), cp)
+    hopfs = br.get_special_points("hopf")
+    assert hopfs
+    idx = br.specialpoint.index(hopfs[0])
+
+    cp_po = bk.ContinuationPar(ds=0.005, dsmax=0.02, dsmin=1e-8,
+                               p_min=0.0, p_max=2.5, max_steps=4,
+                               detect_bifurcation=0, detect_fold=False,
+                               newton_options=bk.NewtonPar(
+                                   tol=1e-8, max_iterations=25))
+    br_po = bk.continuation_hopf_po(br, idx, cp_po,
+                                    disc=bk.Collocation(Ntst=10, m=3),
+                                    delta_p=0.003, use_cop=True,
+                                    nf_kwargs={"matrix_free": True})
+    tbl = br_po.gamma._table()
+    assert len(tbl["param"]) >= 3
+    # supercritical: the branch lives past the Hopf point with finite period
+    assert np.all(np.asarray(tbl["param"]) > hopfs[0].param - 1e-3)
+    assert np.all(np.asarray(tbl["period"]) > 0.1)
