@@ -20,7 +20,8 @@ from .core import (BifurcationProblem, BorderedState, ContinuationPar,
                    DotTheta, Lens, NewtonPar, ODEBifProblem, PDEBifProblem,
                    as_lens, lens_get, lens_set, setfield)
 from .linalg import (ArnoldiEig, BiCGStab, DenseEig, DenseLS, FlatOperator,
-                     GMRES, IterativeRefinement, LOBPCGEig, ShiftInvertEig)
+                     GMRES, IterativeRefinement, LOBPCGEig, ShiftInvertEig,
+                     SubspaceEig)
 from .linalg.bordered import (BorderingBLS, LSFromBLS, MatrixBLS,
                               MatrixFreeBLS)
 from .newton import (NonLinearSolution, cb_max_norm,

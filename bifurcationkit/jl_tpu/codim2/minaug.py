@@ -602,12 +602,37 @@ def _relabel_codim2(gamma: ContResult, maprob=None):
         if sp.type == "gh" and maprob is not None \
                 and getattr(maprob, "ma_mf", False):
             # MF curves never materialize J: use the saved iterative
-            # spectrum at the point for the pole check, else keep 'gh'
-            if sp.eigenvals is not None:
-                vals = np.asarray(sp.eigenvals)
+            # spectrum at the point for the pole check; when none was
+            # saved (detect_bifurcation downgraded to 0), recompute a few
+            # inner eigenvalues iteratively at the point (ADVICE r4:
+            # silently keeping 'gh' misses every ZH on an MF Hopf curve)
+            vals = sp.eigenvals
+            if vals is None:
+                try:
+                    from ..linalg.eig import ArnoldiEig
+
+                    par = maprob.set_lens_param(dict(gamma.prob.params),
+                                                float(sp.param))
+                    op = maprob.eig_jacobian(jnp.asarray(sp.x), par)
+                    w, _, cv, _ = ArnoldiEig(krylov_dim=40, restarts=3,
+                                             which="LR")(op, 8)
+                    vals = np.asarray(w) if bool(cv) else None
+                except Exception:
+                    vals = None
+            if vals is not None:
+                vals = np.asarray(vals)
                 if np.any((np.abs(vals.imag) < 1e-6)
                           & (np.abs(vals.real) < 1e-2)):
                     sp.type = "zh"
+            else:
+                import warnings
+
+                warnings.warn(
+                    "gh label on a matrix-free Hopf curve could not be "
+                    "verified against the inner spectrum (no saved "
+                    "eigenvalues and the iterative recompute failed); a "
+                    "zero-Hopf point would carry the same sign change",
+                    RuntimeWarning)
             continue
         if sp.type == "gh" and maprob is not None:
             n = maprob.n_inner
@@ -842,18 +867,25 @@ def refine_gh(br_hopf, ind_sp: int, tol_l1: float = 1e-8,
     sp = gamma.specialpoint[ind_sp]
     if sp.type not in ("gh", "zh"):
         raise ValueError(f"point {ind_sp} has type {sp.type!r}")
+    # the l1 kernel must see the TRIAL p2 (ADVICE r4: evaluating it at the
+    # curve-start params while solve_at solves the MA system at p2 = pm
+    # computes the Lyapunov sign at an inconsistent point and can bisect
+    # to a wrong GH when the guess lies far along the curve — the event
+    # path already did this correctly via set_lens_param)
     if getattr(maprob, "ma_mf", False):
         from .minaug_mf import make_l1_kernel_mf
 
         _l1_raw = make_l1_kernel_mf(maprob)
 
-        def l1_of(X):
-            return float(_l1_raw(jnp.asarray(X), maprob.params))
+        def l1_of(X, p2):
+            par = maprob.set_lens_param(maprob.params, float(p2))
+            return float(_l1_raw(jnp.asarray(X), par))
     else:
         _l1_raw = _make_l1_kernel(maprob)
 
-        def l1_of(X):
-            return float(_l1_raw(jnp.asarray(X), maprob.params["_inner"]))
+        def l1_of(X, p2):
+            par = maprob.set_lens_param(maprob.params, float(p2))
+            return float(_l1_raw(jnp.asarray(X), par["_inner"]))
     from ..continuation.engine import ContIterable
     from ..continuation.algorithms import PALC as _PALC
 
@@ -874,15 +906,15 @@ def refine_gh(br_hopf, ind_sp: int, tol_l1: float = 1e-8,
     Xb, cvb = solve_at(pb, X0)
     if not (cva and cvb):
         return X0, sp.param
-    la = l1_of(Xa)
-    lb = l1_of(Xb)
+    la = l1_of(Xa, pa)
+    lb = l1_of(Xb, pb)
     if la * lb > 0:
         # widen once
         pa, pb = pa - (pb - pa), pb + (pb - pa)
         Xa, cva = solve_at(pa, X0)
         Xb, cvb = solve_at(pb, X0)
-        la = l1_of(Xa)
-        lb = l1_of(Xb)
+        la = l1_of(Xa, pa)
+        lb = l1_of(Xb, pb)
         if la * lb > 0:
             return X0, sp.param
     X = X0
@@ -891,7 +923,7 @@ def refine_gh(br_hopf, ind_sp: int, tol_l1: float = 1e-8,
         X, cv = solve_at(pm, X)
         if not cv:
             break
-        lm = l1_of(X)
+        lm = l1_of(X, pm)
         if verbose:
             print(f"  [refine_gh] p2={pm:.10f} l1={lm:+.3e}")
         if abs(lm) < tol_l1 or (pb - pa) < 1e-12:

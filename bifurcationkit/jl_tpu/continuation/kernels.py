@@ -357,9 +357,10 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
     # directions (the spectrum moves little along a branch, so a warm solve
     # usually converges in ONE factorization and the cond-gated restart is
     # skipped).  The seed is a flat device array threaded through the step.
-    eig_accepts_v0 = isinstance(eigsolver, (ArnoldiEig,
-                                            _linalg.ShiftInvertEig,
-                                            _linalg.LOBPCGEig))
+    eig_accepts_v0 = (isinstance(eigsolver, (ArnoldiEig,
+                                             _linalg.ShiftInvertEig,
+                                             _linalg.LOBPCGEig))
+                      or bool(getattr(eigsolver, "accepts_v0", False)))
     seed_dtype = eig_dtype or (jnp.float64 if jax.config.jax_enable_x64
                                else jnp.float32)
     # blocked solvers (LOBPCG) warm-start from the full eigenvector block;
@@ -367,8 +368,16 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
     _seed_cols_fn = getattr(eigsolver, "seed_cols", None)
     n_seed_cols = _seed_cols_fn(nev) if callable(_seed_cols_fn) else None
 
-    seed0_shape = ((n_state, n_seed_cols) if n_seed_cols
-                   else (n_state,))   # plain tuple: shape checks stay free
+    # the eig operator may act on a SMALLER space than the full state:
+    # Floquet monodromy operators act on the n_vf slice space, codim-2 MA
+    # spectra on the inner problem (the border rows are stripped)
+    n_eig_state = n_state
+    if eig_jac is not None:
+        n_eig_state = (getattr(prob, "n_vf", None)
+                       or getattr(prob, "n_inner", None) or n_state)
+
+    seed0_shape = ((n_eig_state, n_seed_cols) if n_seed_cols
+                   else (n_eig_state,))  # plain tuple: shape checks stay free
 
     def eig_seed0():
         return jnp.zeros(seed0_shape, seed_dtype)  # zero -> random start
@@ -433,7 +442,11 @@ def make_kernels(prob, alg, contparams: ContinuationPar,
         seed_new = eig_seed
         if eig_accepts_v0 and vecs is not None:
             if n_seed_cols:
-                blk = jnp.real(vecs[:, :n_seed_cols]).astype(seed_dtype)
+                mk = getattr(eigsolver, "make_seed", None)
+                if callable(mk):
+                    blk = mk(vecs, n_seed_cols).astype(seed_dtype)
+                else:
+                    blk = jnp.real(vecs[:, :n_seed_cols]).astype(seed_dtype)
                 pad = n_seed_cols - blk.shape[1]
                 if pad > 0:
                     blk = jnp.pad(blk, ((0, 0), (0, pad)))

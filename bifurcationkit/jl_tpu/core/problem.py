@@ -245,17 +245,41 @@ class BifurcationProblem:
                         jnp.add, out, term)
         return out
 
+    # hooks that are CLOSURES over the functional and state shape; carrying
+    # them onto a problem with a different F or a different-shaped u0 would
+    # silently apply a stale operator (ADVICE r4) — they are dropped then
+    _SHAPE_COUPLED_HOOKS = frozenset({
+        "spectral_precond", "eig_jacobian", "anchors_kernel",
+        "po_spectral_data", "gm_ext", "gm2"})
+
     # --- functional update (ref re_make, src/Problems.jl:576-617) ---------
     def re_make(self, **kwargs):
         """dataclasses.replace + carry over non-field attributes
         (spectral_precond, eig_jacobian, the MA/PO metadata, ...): problems
         accrete capability hooks via object.__setattr__, and losing them on
         `re_make(u0=...)` silently downgrades downstream solves (e.g. the
-        codim-2 MA path falling back to unpreconditioned GMRES)."""
+        codim-2 MA path falling back to unpreconditioned GMRES).
+
+        Hooks in `_SHAPE_COUPLED_HOOKS` close over the old problem's
+        functional/shapes; when `F` is replaced or the flattened state size
+        changes, they are NOT carried (a stale closure is worse than the
+        downgrade)."""
         new = dataclasses.replace(self, **kwargs)
+        shape_changed = "F" in kwargs
+        if not shape_changed and "u0" in kwargs \
+                and kwargs["u0"] is not None and self.u0 is not None:
+            from .state import ravel as _ravel
+
+            try:
+                shape_changed = (_ravel(kwargs["u0"])[0].shape
+                                 != _ravel(self.u0)[0].shape)
+            except Exception:
+                pass
         field_names = {f.name for f in dataclasses.fields(self)}
         for key, val in self.__dict__.items():
             if key not in field_names and key not in new.__dict__:
+                if shape_changed and key in self._SHAPE_COUPLED_HOOKS:
+                    continue
                 object.__setattr__(new, key, val)
         return new
 

@@ -499,6 +499,119 @@ class ArnoldiEig:
 
 
 @dataclasses.dataclass(frozen=True)
+class SubspaceEig:
+    """Block orthogonal (subspace) iteration for the largest-modulus part
+    of a NONSYMMETRIC operator spectrum, matrix-free and BATCHED: each
+    sweep applies the operator to the whole (n, b) block through one
+    `vmap`, so an operator whose single application is a long sequential
+    chain — the matrix-free trapeze/shooting monodromy, M-1 inner solves
+    per application (`Trapeze.monodromy_operator`) — amortizes its
+    dispatch latency over the block.  Per-vector Arnoldi costs
+    krylov_dim SEQUENTIAL applications (each a full M-slice chain); one
+    subspace sweep costs ONE batched chain, and warm-started from the
+    previous continuation step's block (`v0`) a couple of sweeps converge
+    the dominant multipliers (the Floquet :LM ordering is exactly the
+    dominant part, ref Floquet.jl:4-17).  Rayleigh-Ritz on the projected
+    (b, b) matrix runs through the same device-Francis-QR / host-callback
+    split as ArnoldiEig."""
+
+    sweeps: int = 2         # power-iteration warmups (1 = none beyond basis)
+    krylov_blocks: int = 3  # Ritz space = span[Q, AQ, ..., A^{k-1}Q]
+    extra: int = 4          # guard vectors beyond nev
+    tol: float = 1e-6
+    seed: int = 11
+
+    def seed_cols(self, nev: int) -> int:
+        # warm-start block = the previous full block
+        return nev + self.extra
+
+    def make_seed(self, vecs, ncols: int):
+        """Warm-start block from complex Ritz vectors: interleave Re/Im so
+        a conjugate pair contributes its full 2-plane (taking plain real
+        parts duplicates the pair's column and loses the rotation plane)."""
+        re = jnp.real(vecs)
+        im = jnp.imag(vecs)
+        inter = jnp.stack([re, im], axis=2).reshape(re.shape[0], -1)
+        if inter.shape[1] < ncols:
+            inter = jnp.pad(inter, ((0, 0), (0, ncols - inter.shape[1])))
+        return inter[:, :ncols]
+
+    def __call__(self, J, nev: int, v0=None):
+        matvec, n, dtype = _as_flat_matvec(J)
+        b = min(nev + self.extra, n)
+        k = max(1, self.krylov_blocks)
+        cdtype = _complex_dtype()
+        opb = jax.vmap(matvec, in_axes=1, out_axes=1)
+
+        key = jax.random.PRNGKey(self.seed)
+        Q_rand = jax.random.normal(key, (n, b), dtype)
+        if v0 is None:
+            Q = Q_rand
+        else:
+            v0 = jnp.asarray(v0, dtype)
+            if v0.ndim == 1:
+                v0 = v0[:, None]
+            if v0.shape[1] < b:
+                v0 = jnp.concatenate([v0, Q_rand[:, :b - v0.shape[1]]], 1)
+            else:
+                v0 = v0[:, :b]
+            Q = jnp.where(jnp.linalg.norm(v0) > 0, v0, Q_rand)
+        Q, _ = jnp.linalg.qr(Q)
+
+        def sweep(_, Qc):
+            Z = opb(Qc)
+            Qn, _ = jnp.linalg.qr(Z)
+            return Qn
+
+        if self.sweeps > 1:
+            Q = jax.lax.fori_loop(0, self.sweeps - 1, sweep, Q)
+        # block-Krylov Rayleigh-Ritz: project A onto span[Q, AQ, ...] —
+        # each extra block costs one batched application and squares the
+        # subspace-angle error the plain power sweep would leave
+        blocks = [Q]
+        for _ in range(k - 1):
+            blocks.append(opb(blocks[-1]))
+        B, _ = jnp.linalg.qr(jnp.concatenate(blocks, axis=1))
+        Z = opb(B)
+        H = B.T @ Z                          # (k b, k b) projected operator
+        bk_ = B.shape[1]
+
+        def host_ritz(Hm):
+            w, y = np.linalg.eig(np.asarray(Hm))
+            return (w.astype(np.complex128), y.astype(np.complex128))
+
+        if jax.default_backend() == "tpu":
+            w = qr_eigvals(H)
+            y = inverse_iteration_vectors(H, w).astype(cdtype)
+        else:
+            out_shape = (jax.ShapeDtypeStruct((bk_,), cdtype),
+                         jax.ShapeDtypeStruct((bk_, bk_), cdtype))
+            w, y = jax.pure_callback(
+                lambda Hm: tuple(a.astype(cdtype) for a in host_ritz(Hm)),
+                out_shape, H, vmap_method="sequential")
+        # normalize Ritz vectors; residual R = (A - w I)(B y) = Z y - B y w
+        y = y / jnp.maximum(jnp.linalg.norm(y, axis=0, keepdims=True),
+                            float(jnp.finfo(dtype).tiny))
+        By = B.astype(cdtype) @ y
+        R = Z.astype(cdtype) @ y - By * w[None, :]
+        resid = jnp.linalg.norm(R, axis=0)
+        # residual-filtered :LM selection: a Krylov subspace of a nonnormal
+        # operator carries SPURIOUS large-modulus Ritz values (field-of-
+        # values pollution); rank unconverged candidates behind every
+        # plausibly-converged one instead of letting them shadow the true
+        # dominant pairs
+        tol_eff = max(self.tol, 50.0 * float(jnp.finfo(dtype).eps))
+        plaus = resid < jnp.maximum(0.05 * jnp.abs(w), 100.0 * tol_eff)
+        rank_mod = jnp.where(plaus, jnp.abs(w), -resid)
+        order = jnp.lexsort((-w.imag, -rank_mod))
+        w, By, resid = w[order], By[:, order], resid[order]
+        scale = jnp.maximum(jnp.abs(w[:nev]), 1.0)
+        converged = jnp.all(resid[:nev] < tol_eff * scale)
+        return (w[:nev], By[:, :nev], converged,
+                jnp.array(b * (self.sweeps - 1) + bk_))
+
+
+@dataclasses.dataclass(frozen=True)
 class LOBPCGEig:
     """Preconditioned blocked LOBPCG for SYMMETRIC jacobians.
 

@@ -450,4 +450,34 @@ def cgl2d(Nx: int = 41, Ny: int = 21, lx: float = np.pi,
         return t.astype(v.dtype).reshape(shp)
 
     object.__setattr__(prob, "spectral_precond", precond)
+
+    def po_spectral_data(r0: float):
+        """(sym_blocks, to_modes, from_modes) for the trapeze space-time
+        preconditioner (`Trapeze.spectral_precond`): per DST mode k the
+        frozen cGL linearization [[lam_k + r0, -nu], [nu, lam_k + r0]] —
+        the TPU-native stand-in for the reference's ILU on the cGL2d PO
+        jacobian (ref examples/cGL2d.jl:211-213)."""
+        nu_ = float(params["nu"])
+        lam = np.asarray(sym).reshape(-1)                       # (K,)
+        K = lam.shape[0]
+        blocks = np.zeros((K, 2, 2))
+        blocks[:, 0, 0] = lam + r0
+        blocks[:, 1, 1] = lam + r0
+        blocks[:, 0, 1] = -nu_
+        blocks[:, 1, 0] = nu_
+        scale = 4.0 / ((Nx + 1) * (Ny + 1))
+
+        def to_modes(v):
+            x = v.reshape(2, Nx, Ny)
+            t = _dst1(_dst1(x, 1), 2)
+            return t.reshape(2, -1).T                            # (K, 2)
+
+        def from_modes(w):
+            t = w.T.reshape(2, Nx, Ny)
+            x = _dst1(_dst1(t, 1), 2) * scale
+            return x.reshape(-1)
+
+        return blocks, to_modes, from_modes
+
+    object.__setattr__(prob, "po_spectral_data", po_spectral_data)
     return prob

@@ -875,7 +875,8 @@ def get_normal_form(br, ind_bif: int, prob=None, verbose: bool = False,
     br = gamma
     sp = br.specialpoint[ind_bif]
     if sp.type == "hopf":
-        return hopf_normal_form(prob, br, ind_bif, verbose=verbose)
+        return hopf_normal_form(prob, br, ind_bif, verbose=verbose,
+                                **kwargs)
     if sp.type in ("bp", "fold", "nd"):
         from .codim1_nd import get_normal_form_nd
 

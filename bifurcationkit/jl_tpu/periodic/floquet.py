@@ -172,6 +172,7 @@ class FloquetQaDMF:
     (periodic_orbit_problem(..., floquet="qad_mf"))."""
 
     is_floquet: bool = True
+    accepts_v0: bool = True
     eigsolver: object = dataclasses.field(
         default_factory=lambda: _default_mf_eig())
 
@@ -185,9 +186,16 @@ class FloquetQaDMF:
         return expo[order], vecs[:, order], cv, it
 
     def seed_cols(self, nev: int):
-        # warm-start contract shared with ArnoldiEig (single recombined
-        # Ritz direction)
-        return None
+        # warm-start contract: blocked inner solvers (SubspaceEig) take the
+        # full previous block; Arnoldi takes a single recombined direction
+        inner = getattr(self.eigsolver, "seed_cols", None)
+        return inner(nev) if callable(inner) else None
+
+    def make_seed(self, vecs, ncols: int):
+        inner = getattr(self.eigsolver, "make_seed", None)
+        if callable(inner):
+            return inner(vecs, ncols)
+        return jnp.real(vecs[:, :ncols])
 
 
 def _default_mf_eig():

@@ -36,7 +36,8 @@ def periodic_orbit_problem(prob_vf: BifurcationProblem, disc, X0,
                            params=None, uref=None,
                            update_section_every_step: int = 1,
                            use_cop: bool = False,
-                           floquet: str = "qad"):
+                           floquet: str = "qad",
+                           floquet_linsolver=None):
     """Build the PO BifurcationProblem for any discretization."""
     params = prob_vf.params if params is None else params
     flatvf, unravel_vf = ravel(prob_vf.u0)
@@ -188,7 +189,8 @@ def periodic_orbit_problem(prob_vf: BifurcationProblem, disc, X0,
                 "monodromy_operator (Shooting or Trapeze)")
 
         def eig_jacobian(X, par):
-            return disc.monodromy_operator(prob_vf, X, par)
+            return disc.monodromy_operator(prob_vf, X, par,
+                                           linsolver=floquet_linsolver)
     else:
         def eig_jacobian(X, par):
             return disc.monodromy(prob_vf, X, par)
@@ -251,13 +253,15 @@ def _floquet_mode(contparams: ContinuationPar, floquet=None) -> str:
 
 def continuation_po(prob_vf, disc, X0, contparams: ContinuationPar,
                     alg=None, params=None, use_cop: bool = False,
-                    floquet=None, **kwargs) -> Branch:
+                    floquet=None, floquet_linsolver=None,
+                    **kwargs) -> Branch:
     """Continue a periodic orbit in the vector field's lens parameter."""
     alg = alg or PALC()
     po_prob = periodic_orbit_problem(prob_vf, disc, X0, params=params,
                                      use_cop=use_cop,
                                      floquet=_floquet_mode(contparams,
-                                                           floquet))
+                                                           floquet),
+                                     floquet_linsolver=floquet_linsolver)
     cp = _po_contparams(contparams)
     if use_cop:
         from .cop import COPBLS, COPLS
@@ -278,6 +282,7 @@ def continuation_hopf_po(br, ind_hopf: int, contparams: ContinuationPar,
                          disc=None, alg=None, delta_p: float = None,
                          ampfactor: float = 1.0, use_cop: bool = False,
                          nf_kwargs: Optional[dict] = None,
+                         floquet_linsolver=None,
                          **kwargs) -> Branch:
     """Automatic branch switching Hopf -> periodic orbits
     (ref continuation(br, ind_hopf, contparams, disc),
@@ -291,12 +296,14 @@ def continuation_hopf_po(br, ind_hopf: int, contparams: ContinuationPar,
     hp = hopf_normal_form(prob_vf, br, ind_hopf, **(nf_kwargs or {}))
     return _continuation_hopf_pred(prob_vf, hp, contparams, disc, alg=alg,
                                    delta_p=delta_p, ampfactor=ampfactor,
-                                   use_cop=use_cop, **kwargs)
+                                   use_cop=use_cop,
+                                   floquet_linsolver=floquet_linsolver,
+                                   **kwargs)
 
 
 def _continuation_hopf_pred(prob_vf, hp, contparams, disc, alg=None,
                             delta_p=None, ampfactor=1.0, use_cop=False,
-                            **kwargs) -> Branch:
+                            floquet_linsolver=None, **kwargs) -> Branch:
     """Common Hopf-normal-form -> PO-branch tail (ref _continuation(hopfpt,
     ...), PeriodicOrbits.jl:395-530)."""
     alg = alg or PALC()
@@ -311,7 +318,8 @@ def _continuation_hopf_pred(prob_vf, hp, contparams, disc, alg=None,
     params_new = prob_vf.set_lens_param(prob_vf.params, p_new)
     po_prob = periodic_orbit_problem(prob_vf, disc, X0, params=params_new,
                                      use_cop=use_cop,
-                                     floquet=_floquet_mode(contparams))
+                                     floquet=_floquet_mode(contparams),
+                                     floquet_linsolver=floquet_linsolver)
     cp = _po_contparams(contparams)
     if use_cop:
         from .cop import COPBLS, COPLS

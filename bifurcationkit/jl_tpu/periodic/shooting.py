@@ -85,7 +85,7 @@ class Shooting:
                              jnp.arange(self.M))
         return Mn
 
-    def monodromy_operator(self, prob_vf, X, po_par):
+    def monodromy_operator(self, prob_vf, X, po_par, linsolver=None):
         """MATRIX-FREE monodromy v -> M v: the chain of per-segment flow
         jvps, never materializing the (n, n) matrix (ref the matrix-free
         FloquetQaD operator, Floquet.jl:89-109 and the MF shooting variant

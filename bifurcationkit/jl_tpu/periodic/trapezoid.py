@@ -126,6 +126,12 @@ class Trapeze:
 
         return FlatOperator(Mv, n, X.dtype)
 
+    def phase_data(self, prob_vf, u, params):
+        """Reference orbit + phase gradient phi = F(uref) for the Poincare
+        phase condition."""
+        phi = jax.vmap(lambda x: prob_vf.F(x, params))(u)
+        return u, phi
+
     def generate_solution(self, orbit_fn, T, n: int):
         """Sample a time-periodic function guess onto the M-slice mesh
         (ref generate_solution, PeriodicOrbits.jl:74)."""
@@ -133,8 +139,94 @@ class Trapeze:
         u = jnp.stack([jnp.asarray(orbit_fn(t)) for t in ts])
         return self.pack(u, T)
 
-    def phase_data(self, prob_vf, u, params):
-        """Reference orbit + phase gradient phi = F(uref) for the Poincare
-        phase condition."""
-        phi = jax.vmap(lambda x: prob_vf.F(x, params))(u)
-        return u, phi
+    def spectral_precond(self, n, sym_blocks, to_modes, from_modes, T0,
+                         delta: float = 1e-2):
+        """Space-time spectral preconditioner for the trapeze PO operator —
+        the TPU-native replacement for the reference's ILU of the sparse
+        trapeze jacobian ("~1 sec" setup at the cGL2d size,
+        ref examples/cGL2d.jl:211).  Freeze the vector-field jacobian at
+        its spectrally-diagonalizable linear part: per spatial mode k with
+        (c, c) symbol L_k, the trapeze rows decouple into an M-slice CYCLIC
+        block-bidiagonal system
+
+            v_0 - v_{M-1} = b_per
+            (I - c_i L_k) v_i - (I + c_i L_k) v_{i-1} = b_i,  c_i = T0 h_i/2
+
+        solved exactly per mode by two `lax.scan` sweeps over the slice
+        maps S_i = B_i^{-1} A_i (A-stable: |S| <= 1 for Re lambda <= 0) and
+        one closed (c, c) solve of ((1+delta) I - Phi) v_0 = b_per + g
+        (Phi = S_{M-1}...S_1; delta keeps the critical Hopf mode — whose
+        Phi is a full rotation, the trivial-multiplier direction the
+        phase/period border handles in the TRUE jacobian — bounded).
+        Everything batches over the K modes; setup is a handful of (K, c, c)
+        inverses on device (milliseconds vs the reference's ILU second).
+
+        `sym_blocks`: (K, c, c) frozen per-mode linearization;
+        `to_modes(flat_slice) -> (K, c)` / `from_modes` its inverse;
+        `T0` the frozen period (precondition quality degrades gracefully as
+        the period drifts — rebuild if it moves by ~10%).
+        Returns P^{-1} acting on the full (M n + 1) residual vector
+        (identity on the period/phase border slot)."""
+        M = self.M
+        lo = jnp.float32
+        Lk = jnp.asarray(sym_blocks, lo)
+        K, c = Lk.shape[0], Lk.shape[-1]
+        eye = jnp.eye(c, dtype=lo)
+        ci = jnp.asarray(float(T0) * np.asarray(self.steps()) / 2.0, lo)
+        B = eye[None, None] - ci[:, None, None, None] * Lk[None]
+        A = eye[None, None] + ci[:, None, None, None] * Lk[None]
+        Binv = jnp.linalg.inv(B)                      # (M-1, K, c, c)
+        S = Binv @ A
+
+        def _mul(Phi, Si):
+            return Si @ Phi, None
+
+        Phi, _ = jax.lax.scan(_mul, jnp.broadcast_to(eye, (K, c, c)), S)
+        Minv = jnp.linalg.inv((1.0 + delta) * eye[None] - Phi)
+
+        def apply(v):
+            dt = v.dtype
+            b0 = to_modes(v[:n].astype(lo))                      # (K, c)
+            rows = v[n:-1].reshape(M - 1, n)
+            bi = jax.vmap(lambda r: to_modes(r.astype(lo)))(rows)
+            t = jnp.einsum("ikab,ikb->ika", Binv, bi)
+
+            def acc(g, dat):
+                Si, ti = dat
+                return jnp.einsum("kab,kb->ka", Si, g) + ti, None
+
+            g, _ = jax.lax.scan(acc, jnp.zeros_like(b0), (S, t))
+            v0 = jnp.einsum("kab,kb->ka", Minv, b0 + g)
+
+            def fwd(vprev, dat):
+                Si, ti = dat
+                vi = jnp.einsum("kab,kb->ka", Si, vprev) + ti
+                return vi, vi
+
+            _, vrest = jax.lax.scan(fwd, v0, (S, t))
+            vall = jnp.concatenate([v0[None], vrest], 0)         # (M, K, c)
+            out = jax.vmap(from_modes)(vall)                     # (M, n)
+            return jnp.concatenate([out.reshape(-1),
+                                    v[-1:]]).astype(dt)
+
+        return apply
+
+
+def slice_spectral_precond(sym_blocks, to_modes, from_modes, c0):
+    """(I - c0 L_k)^{-1} per spatial mode — preconditions the implicit
+    half-step solves inside the matrix-free trapeze monodromy
+    (`Trapeze.monodromy_operator`; ref the per-slice inversions in
+    FloquetQaD, Floquet.jl:255-318)."""
+    lo = jnp.float32
+    Lk = jnp.asarray(sym_blocks, lo)
+    c = Lk.shape[-1]
+    eye = jnp.eye(c, dtype=lo)
+    Binv = jnp.linalg.inv(eye[None] - float(c0) * Lk)
+
+    def apply(v):
+        dt = v.dtype
+        w = to_modes(v.astype(lo))
+        w = jnp.einsum("kab,kb->ka", Binv, w)
+        return from_modes(w).astype(dt)
+
+    return apply

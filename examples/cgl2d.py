@@ -13,6 +13,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax.numpy as jnp
+import numpy as np
 
 import bifurcationkit.jl_tpu as bk
 from bifurcationkit.jl_tpu import models
@@ -33,6 +34,9 @@ def main(Nx=21, Ny=11, po_steps=6):
         record_from_solution=lambda x, p, **k: {
             "param": p, "norm": jnp.linalg.norm(x),
             "norminf": jnp.max(jnp.abs(x))})
+    # the matrix-free normal-form/codim-2 layers pick the preconditioner
+    # up from the problem (spectral_precond accepts flat vectors)
+    object.__setattr__(prob, "spectral_precond", base.spectral_precond)
 
     nopts = bk.NewtonPar(tol=1e-9, max_iterations=20,
                          linsolver=GMRES(restart=40, maxiter=400,
@@ -49,7 +53,11 @@ def main(Nx=21, Ny=11, po_steps=6):
     assert hopfs, "no Hopf found on the trivial cGL2d branch"
 
     i = br.specialpoint.index(hopfs[0])
-    hp = bk.get_normal_form(br, i, verbose=True)
+    # matrix-free at scale (the dense path would np.linalg.eig a
+    # (2 Nx Ny)^2 jacobian twice); both verified equal to 1e-8 in
+    # tests/test_minaug_mf.py::test_hopf_nf_mf_parity_cgl2d
+    hp = bk.get_normal_form(br, i, verbose=True,
+                            matrix_free=2 * Nx * Ny > 500)
 
     # --- codim-2: Hopf curve in gamma via the MATRIX-FREE MA path with
     # BT/GH monitoring (the reference's 1,722-dof leg with
@@ -77,6 +85,62 @@ def main(Nx=21, Ny=11, po_steps=6):
               f"{len(brh)/dt:.2f} steps/s; omega:",
               [round(float(v), 4) for v in tblh["omega"][:4]])
 
+    if os.environ.get("CGL2D_PO_DISC", "coll") == "trapeze":
+        # the reference's OWN configuration for this workload: trapeze +
+        # preconditioned GMRES (it uses ILU, ref examples/cGL2d.jl:209-213;
+        # here the space-time spectral preconditioner + the matrix-free
+        # Hopf normal form seed + blocked SubspaceEig Floquet per step —
+        # nothing materializes at n = 2 Nx Ny)
+        import time
+
+        from bifurcationkit.jl_tpu.periodic.floquet import FloquetQaDMF
+        from bifurcationkit.jl_tpu.periodic.trapezoid import (
+            slice_spectral_precond)
+
+        M = int(os.environ.get("CGL2D_PO_M", "51"))
+        n = 2 * Nx * Ny
+        r0 = hopfs[0].param
+        T0 = 2 * np.pi / abs(hp.omega)
+        disc = bk.Trapeze(M=M)
+        blocks, to_m, from_m = base.po_spectral_data(r0)
+        pre = disc.spectral_precond(n, blocks, to_m, from_m, float(T0))
+        import jax
+
+        if jax.default_backend() != "cpu":
+            ls_po = bk.IterativeRefinement(
+                inner=bk.GMRES(restart=30, maxiter=120, rtol=1e-4,
+                               precond=pre),
+                refinements=4, rtol=1e-9)
+        else:
+            ls_po = bk.GMRES(restart=30, maxiter=300, rtol=1e-9,
+                             precond=pre)
+        c0 = float(T0) / (M - 1) / 2.0
+        mono_ls = bk.GMRES(restart=20, maxiter=80, rtol=1e-6,
+                           precond=slice_spectral_precond(blocks, to_m,
+                                                          from_m, c0))
+        cp_po = bk.ContinuationPar(
+            ds=0.005, dsmax=0.02, dsmin=1e-8, p_min=0.0, p_max=2.5,
+            max_steps=po_steps, detect_bifurcation=2, nev=8,
+            tol_stability=1e-3, save_eigenvectors=False,
+            newton_options=bk.NewtonPar(
+                tol=1e-7, max_iterations=25, linsolver=ls_po,
+                eigsolver=FloquetQaDMF(eigsolver=bk.SubspaceEig(
+                    sweeps=2, krylov_blocks=3, extra=4, tol=1e-6))))
+        t0 = time.time()
+        br_po = bk.continuation_hopf_po(br, i, cp_po, disc=disc,
+                                        delta_p=0.003,
+                                        nf_kwargs={"matrix_free": True},
+                                        floquet_linsolver=mono_ls)
+        dt = time.time() - t0
+        tbl = br_po.gamma._table()
+        print(f"trapeze PO branch ({2 * Nx * Ny}-dof vf, M={M} -> "
+              f"{2 * Nx * Ny * M + 1} unknowns): {len(br_po)} points in "
+              f"{dt:.1f}s = {len(br_po) / dt:.2f} steps/s; r:",
+              [round(float(v), 5) for v in tbl["param"][:6]],
+              "period:", [round(float(v), 4) for v in tbl["period"][:6]],
+              "n_unstable:", [int(v) for v in tbl["n_unstable"][:6]])
+        return br, br_po
+
     # PO solves go through the native COP direct solver (the reference
     # uses ILU-preconditioned GMRES on the trapezoid system instead).
     # With c3 = -1 (the reference's sign) the Hopf is weakly subcritical
@@ -99,4 +163,6 @@ def main(Nx=21, Ny=11, po_steps=6):
 
 
 if __name__ == "__main__":
-    main()
+    main(Nx=int(os.environ.get("CGL2D_NX", "21")),
+         Ny=int(os.environ.get("CGL2D_NY", "11")),
+         po_steps=int(os.environ.get("CGL2D_PO_STEPS", "6")))

@@ -353,3 +353,55 @@ def test_hopf_po_abs_mf_nf():
     # supercritical: the branch lives past the Hopf point with finite period
     assert np.all(np.asarray(tbl["param"]) > hopfs[0].param - 1e-3)
     assert np.all(np.asarray(tbl["period"]) > 0.1)
+
+
+def test_l1_kernel_mf_vs_dense_parity():
+    """make_l1_kernel_mf == _make_l1_kernel (ADVICE r4): the MF GH test
+    function's real-split R2/R3 terms, complex-embedded (2 i omega - J)
+    solve and adjoint normalization against the dense kernel, on a quintic
+    Stuart-Landau (z' = (p+q+i) z + (-1+0.8i) z|z|^2 + 0.3 z|z|^4) whose
+    Hopf curve is exactly p = -q with omega = 1 and l1 proportional to
+    Re(c3) everywhere."""
+    from bifurcationkit.jl_tpu.codim2.minaug import (_make_l1_kernel,
+                                                     hopf_ma_problem)
+    from bifurcationkit.jl_tpu.codim2.minaug_mf import make_l1_kernel_mf
+
+    c3 = -1.0 + 0.8j
+    c5 = 0.3
+
+    def F(u, par):
+        z = u[0] + 1j * u[1]
+        mu = par["p"] + par["q"] + 1j
+        zz = z * jnp.conj(z)
+        out = mu * z + c3 * z * zz + c5 * z * zz ** 2
+        return jnp.array([jnp.real(out), jnp.imag(out)])
+
+    prob = bk.BifurcationProblem(F, u0=jnp.zeros(2),
+                                 params={"p": -0.5, "q": 0.0}, lens="p")
+    br = bk.continuation(prob, bk.PALC(), _cp())
+    idx = br.specialpoint.index(br.get_special_points("hopf")[0])
+    cp2 = _cp(ds=0.02, dsmax=0.05, p_min=-0.8, p_max=0.8, max_steps=8,
+              detect_bifurcation=0, detect_fold=False)
+    brh = bk.continuation_hopf(br, idx, "q", cp2,
+                               detect_codim2_bifurcation=0,
+                               jacobian_ma="minaug")
+    maprob_mf = brh.gamma.prob
+    assert getattr(maprob_mf, "ma_mf", False)
+    l1_mf = make_l1_kernel_mf(maprob_mf)
+
+    maprob_d = hopf_ma_problem(prob, prob.lens, "q",
+                               jnp.array([1.0, 0.0]), jnp.array([1.0, 0.0]))
+    l1_d = _make_l1_kernel(maprob_d)
+
+    tbl = brh.gamma._table()
+    for k in [1, len(tbl["param"]) - 1]:
+        X = jnp.asarray(brh.gamma.get_solx(k))
+        p2 = float(tbl["param"][k])
+        par_mf = maprob_mf.set_lens_param(maprob_mf.params, p2)
+        par_d = maprob_d.set_lens_param(dict(maprob_d.params), p2)
+        v_mf = float(l1_mf(X, par_mf))
+        v_d = float(l1_d(X, par_d["_inner"]))
+        assert abs(v_mf - v_d) < 1e-8 * max(abs(v_d), 1.0), (v_mf, v_d)
+        # on the trivial-state curve l1 is a fixed positive multiple of
+        # Re(c3): the SIGN (all GH/bisection logic consumes only the sign)
+        assert v_d < 0
