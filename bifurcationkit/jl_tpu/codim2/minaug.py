@@ -686,11 +686,13 @@ def switch_codim2(br_c2, ind: int, contparams: ContinuationPar,
     sp = gamma.specialpoint[ind]
     maprob = gamma.prob
     if getattr(maprob, "ma_mf", False):
-        raise NotImplementedError(
-            "switch_codim2 from a matrix-free MA curve is not wired yet: "
-            "restart the target curve directly with continuation_fold/"
-            "continuation_hopf(jacobian_ma='minaug') from the codim-2 "
-            "point's (x, p1, p2) data")
+        # matrix-free curves switch through the operator path: target MA
+        # problem built at the same point, anchors seeded from the
+        # iterative spectrum (ref the jacobian_ma-generic dispatch,
+        # src/codim2/codim2.jl:400-560)
+        from .minaug_mf import switch_codim2_mf
+
+        return switch_codim2_mf(br_c2, ind, contparams, to=to, **kwargs)
     inner = maprob.inner_prob
     n = maprob.n_inner
     X = jnp.asarray(sp.x)

@@ -58,12 +58,95 @@ def _bt_basis(J):
             jnp.asarray(p1))
 
 
-def bt_normal_form(prob, x0, params, verbose: bool = False):
+def _bt_basis_mf(fp, prob, params, precond=None,
+                 gmres_opts=None, seed=None, sweeps: int = 3):
+    """Matrix-free BT Jordan chains through the bordered-solver abstraction
+    (ref the reference computing the same objects via `bls`,
+    src/codim2/NormalForms.jl:148-262).  At a bisection-located BT the
+    zero eigenvalue is DEFECTIVE up to a residual delta: the two nearby
+    eigenvalues +-sqrt(delta) make plain inverse iteration O(sqrt(delta))
+    inaccurate, so q0/p1 come from SINGULAR-vector iteration (alternating
+    J^T/J bordered solves — the matrix-free analog of the dense path's
+    SVD, O(delta) like it), and the generalized vectors solve
+    [J, p1; q0^T, 0] [q1; s] = [q0; 0] (the border row enforces the
+    q0-orthogonal gauge directly)."""
+    from .minaug_mf import _make_ma_gmres, solve_bordered_ext
+    from ..core.state import ravel as _ravel
+
+    n = fp.n
+    if precond is None:
+        precond = getattr(prob, "spectral_precond", None)
+    gm = _make_ma_gmres(precond, n, 1, gmres_opts)
+    Jd = lambda d: fp.dF(d)                       # noqa: E731
+    Jtd = lambda d: _ravel(prob.dFt(              # noqa: E731
+        fp.unravel(fp.flat0), params, fp.unravel(d)))[0]
+
+    @jax.jit
+    def _null_sweep(q0e, p1e):
+        # at a BT the [0; 1]-driven deflated solve returns the null vector
+        # EXACTLY in one application: the scalar slot must vanish (the
+        # border column has a p1-component, the zero rhs-top has none), so
+        # J v = 0 with <q0e, v> = 1  ->  v in ker(J) = span(q0).  Iterating
+        # with re-anchored borders polishes a bisection-located (near-BT)
+        # point, where the accuracy is O(sqrt(delta)) in the eigenvalue
+        # residual delta — matched to the MA curve's own localization.
+        v, _, _ = solve_bordered_ext(Jd, p1e, q0e, gm)
+        w, _, _ = solve_bordered_ext(Jtd, q0e, p1e, gm)
+        return v / jnp.linalg.norm(v), w / jnp.linalg.norm(w)
+
+    if seed is None:
+        rng = np.random.default_rng(29)
+        seed = rng.standard_normal(n)
+    q0 = jnp.asarray(np.asarray(seed, np.asarray(fp.flat0).dtype))
+    q0 = q0 / jnp.linalg.norm(q0)
+    p1 = q0
+    for _ in range(sweeps):
+        q0, p1 = _null_sweep(q0, p1)
+
+    @jax.jit
+    def _gen_vectors(q0, p1):
+        q1, _, _ = solve_bordered_ext(Jd, p1, q0, gm, rhs_top=q0,
+                                      rhs_bot=0.0)
+        p0, _, _ = solve_bordered_ext(Jtd, q0, p1, gm, rhs_top=p1,
+                                      rhs_bot=0.0)
+        return q1, p0
+
+    q1, p0 = _gen_vectors(q0, p1)
+    # same gauge as the dense _bt_basis: q0 unit, q1 orthogonal to q0
+    # (enforced by the border row), then biorthonormalize the adjoints
+    q0n, q1n = np.asarray(q0), np.asarray(q1)
+    p0n, p1n = np.asarray(p0), np.asarray(p1)
+    q1n = q1n - np.dot(q0n, q1n) * q0n
+    s = np.dot(p1n, q1n)
+    if abs(s) < 1e-12:
+        raise RuntimeError("BT basis (mf): <p1, q1> ~ 0; not a clean BT")
+    p1n = p1n / s
+    p0n = p0n - np.dot(p0n, q1n) * p1n
+    s0 = np.dot(p0n, q0n)
+    if abs(s0) < 1e-12:
+        raise RuntimeError("BT basis (mf): <p0, q0> ~ 0")
+    p0n = p0n / s0
+    return (jnp.asarray(q0n), jnp.asarray(q1n), jnp.asarray(p0n),
+            jnp.asarray(p1n))
+
+
+def bt_normal_form(prob, x0, params, verbose: bool = False,
+                   matrix_free: bool = False, precond=None,
+                   gmres_opts=None, seed=None):
     """BT quadratic coefficients a, b (ref :141-340):
-    a = <p1, B(q0,q0)>/2,  b = <p1, B(q0,q1)> + <p0, B(q0,q0)>."""
+    a = <p1, B(q0,q0)>/2,  b = <p1, B(q0,q1)> + <p0, B(q0,q0)>.
+
+    `matrix_free=True` computes the Jordan chains through bordered
+    singular-vector iteration + preconditioned extended solves — the
+    PDE-scale route for BT points on MF fold curves (nothing materializes
+    the jacobian)."""
     fp = _FlatProblem(prob, x0, params)
-    J = fp.jacobian()
-    q0, q1, p0, p1 = _bt_basis(J)
+    if matrix_free:
+        q0, q1, p0, p1 = _bt_basis_mf(fp, prob, params, precond=precond,
+                                      gmres_opts=gmres_opts, seed=seed)
+    else:
+        J = fp.jacobian()
+        q0, q1, p0, p1 = _bt_basis(J)
     B = lambda u, v: fp.d2F(u, v)
     Bq0q0 = B(q0, q0)
     Bq0q1 = B(q0, q1)
@@ -202,9 +285,12 @@ def newton_bt(br_codim2, ind_bif: int, lens2=None, options=None,
     return sol
 
 
-def get_normal_form_codim2(br_codim2, ind_bif: int, verbose: bool = False):
+def get_normal_form_codim2(br_codim2, ind_bif: int, verbose: bool = False,
+                           matrix_free=None, **nf_kwargs):
     """Normal form at a detected codim-2 special point on a fold/hopf MA
-    curve (bt/cusp/gh/zh/hh)."""
+    curve (bt/cusp/gh/zh/hh).  On a MATRIX-FREE MA curve the BT normal
+    form defaults to the bordered/iterative route (nothing materialized);
+    pass `matrix_free=False` to force the dense path."""
     gamma = getattr(br_codim2, "gamma", br_codim2)
     sp = gamma.specialpoint[ind_bif]
     maprob = gamma.prob
@@ -221,7 +307,19 @@ def get_normal_form_codim2(br_codim2, ind_bif: int, verbose: bool = False):
     params = par_dict["_inner"]
 
     if sp.type == "bt":
-        pt = bt_normal_form(inner, x, params, verbose=verbose)
+        mf = matrix_free
+        if mf is None:
+            mf = bool(getattr(maprob, "ma_mf", False))
+        kw = dict(nf_kwargs)
+        if mf:
+            kw.setdefault("precond", getattr(maprob, "precond", None))
+            # seed the singular-vector iteration with the curve's own
+            # anchors (at the BT they ARE the fold null pair)
+            if "_b" in gamma.prob.params:
+                kw.setdefault("seed",
+                              np.asarray(gamma.prob.params["_b"]))
+        pt = bt_normal_form(inner, x, params, verbose=verbose,
+                            matrix_free=mf, **kw)
         pt.p = (p1, sp.param)
         return pt
     if sp.type == "cusp":

@@ -553,30 +553,63 @@ def predictor_ns_hh(nf: dict, eps: float, which: int = 1):
 # ---------------------------------------------------------------------------
 
 
-def bt_unfolding(prob, x0_tree, params, lens1, lens2, pt=None):
+def bt_unfolding(prob, x0_tree, params, lens1, lens2, pt=None,
+                 matrix_free: bool = False, precond=None, gmres_opts=None):
     """Detailed BT normal form following REF3 (Al-Hdaibat et al. 2016),
     ref src/codim2/NormalForms.jl:195-340: the parameter transformation
     (K10, K11, K2) and the center-manifold expansions (H...) needed for
     the Lindstedt-Poincare homoclinic predictor — plus exact-parameter
-    Hopf/fold curve predictors."""
+    Hopf/fold curve predictors.
+
+    `matrix_free=True` routes every linear solve through the
+    preconditioned extended bordered operators (the reference's `bls` +
+    `solve_bls_block` realization, src/codim2/NormalForms.jl:40-41,
+    148-149,258-262) — a BT detected on a 15k-dof MF fold curve gets its
+    full unfolding and homoclinic predictor with nothing materialized.
+    All jets (B, C3, parameter derivatives) were already matrix-free AD."""
     from .normal_forms import bt_normal_form
 
     if pt is None:
-        pt = bt_normal_form(prob, x0_tree, params)
+        pt = bt_normal_form(prob, x0_tree, params,
+                            matrix_free=matrix_free, precond=precond,
+                            gmres_opts=gmres_opts)
     a, b = pt.nf["a"], pt.nf["b"]
     q0, q1 = (np.asarray(v, dtype=np.float64) for v in pt.zeta)
     p0, p1 = (np.asarray(v, dtype=np.float64) for v in pt.zeta_star)
 
     fp = _FlatProblem(prob, x0_tree, params)
-    L = np.asarray(fp.jacobian(), dtype=np.float64)
     n = fp.n
     B = lambda u, v: np.asarray(fp.d2F(jnp.asarray(u), jnp.asarray(v)))
     C3 = lambda u, v, w: np.asarray(fp.d3F(jnp.asarray(u), jnp.asarray(v),
                                            jnp.asarray(w)))
 
-    def Ainv(dx):
-        # bordered [L, p1; q0^T, 0] (L singular with ker = span(q0))
-        return _bord_solve(L, p1, q0, dx)
+    if matrix_free:
+        from ..core.state import ravel as _ravel
+        from .minaug_mf import _make_ma_gmres, solve_bordered_ext
+
+        if precond is None:
+            precond = getattr(prob, "spectral_precond", None)
+        gm = _make_ma_gmres(precond, n, 1, gmres_opts)
+        Jd = lambda d: fp.dF(d)                   # noqa: E731
+        p1j, q0j = jnp.asarray(p1), jnp.asarray(q0)
+
+        @jax.jit
+        def _ainv(dx):
+            v, _, _ = solve_bordered_ext(Jd, p1j, q0j, gm,
+                                         rhs_top=jnp.asarray(dx),
+                                         rhs_bot=0.0)
+            return v
+
+        def Ainv(dx):
+            return np.asarray(_ainv(jnp.asarray(dx)))
+
+        L = None
+    else:
+        L = np.asarray(fp.jacobian(), dtype=np.float64)
+
+        def Ainv(dx):
+            # bordered [L, p1; q0^T, 0] (L singular with ker = span(q0))
+            return _bord_solve(L, p1, q0, dx)
 
     H2000 = Ainv(2.0 * a * q1 - B(q0, q0))
     gam = (-2.0 * np.dot(p0, H2000) + 2.0 * np.dot(p0, B(q0, q1))
@@ -615,17 +648,49 @@ def bt_unfolding(prob, x0_tree, params, lens1, lens2, pt=None):
         [np.dot(p0, pj1.A1(q0)) + np.dot(p1, pj1.A1(q1)),
          np.dot(p0, pj2.A1(q0)) + np.dot(p1, pj2.A1(q1))]])
 
-    def solve_block(rhs_top, rhs_bot):
-        M = np.zeros((n + 2, n + 2))
-        M[:n, :n] = L
-        M[:n, n] = J1_1
-        M[:n, n + 1] = J1_2
-        M[n, :n] = A12_1
-        M[n + 1, :n] = A12_2
-        M[n:, n:] = A22
-        rhs = np.concatenate([rhs_top, rhs_bot])
-        sol = np.linalg.solve(M, rhs)
-        return sol[:n], sol[n:]
+    if matrix_free:
+        # 2-border extended operator, preconditioned GMRES (the
+        # reference's solve_bls_block, src/codim2/NormalForms.jl:258-262)
+        from ..linalg.linear import GMRES as _GMRES
+        from .minaug_mf import ext_precond as _extp
+
+        J1_1j, J1_2j = jnp.asarray(J1_1), jnp.asarray(J1_2)
+        A12_1j, A12_2j = jnp.asarray(A12_1), jnp.asarray(A12_2)
+        A22j = jnp.asarray(A22)
+        o2 = dict(restart=40, maxiter=240, rtol=1e-10, atol=1e-14)
+        if gmres_opts:
+            o2.update(gmres_opts)
+        gm2b = _GMRES(precond=_extp(precond, n), **o2)
+        Jd2 = lambda d: fp.dF(d)                  # noqa: E731
+
+        def _op2(z):
+            zx, za, zb = z[:n], z[n], z[n + 1]
+            top = Jd2(zx) + za * J1_1j + zb * J1_2j
+            r1 = jnp.dot(A12_1j, zx) + A22j[0, 0] * za + A22j[0, 1] * zb
+            r2 = jnp.dot(A12_2j, zx) + A22j[1, 0] * za + A22j[1, 1] * zb
+            return jnp.concatenate([top, r1[None], r2[None]])
+
+        @jax.jit
+        def _block_solve(rhs):
+            sol, _, _ = gm2b(_op2, rhs)
+            return sol
+
+        def solve_block(rhs_top, rhs_bot):
+            rhs = jnp.asarray(np.concatenate([rhs_top, rhs_bot]))
+            sol = np.asarray(_block_solve(rhs))
+            return sol[:n], sol[n:]
+    else:
+        def solve_block(rhs_top, rhs_bot):
+            M = np.zeros((n + 2, n + 2))
+            M[:n, :n] = L
+            M[:n, n] = J1_1
+            M[:n, n + 1] = J1_2
+            M[n, :n] = A12_1
+            M[n + 1, :n] = A12_2
+            M[n:, n:] = A22
+            rhs = np.concatenate([rhs_top, rhs_bot])
+            sol = np.linalg.solve(M, rhs)
+            return sol[:n], sol[n:]
 
     c = 3.0 * np.dot(p0, H1100) - np.dot(p0, B(q1, q1))
     H0010, K10 = solve_block(q1, np.array([np.dot(p1, B(q1, q1)) / 2.0, c]))

@@ -481,3 +481,72 @@ def cgl2d(Nx: int = 41, Ny: int = 21, lx: float = np.pi,
 
     object.__setattr__(prob, "po_spectral_data", po_spectral_data)
     return prob
+
+
+def fold_hopf_interaction_2d(Nx: int = 32, Ny: int = 32,
+                             lx: float = np.pi, ly: float = np.pi,
+                             p1: float = -0.4, a: float = -0.5,
+                             alpha: float = 1.0, nu: float = 1.0):
+    """Constructed PDE-scale fold-Hopf (zero-Hopf) interaction with EXACT
+    codim-2 geometry — the validation model for matrix-free codim-2
+    switching (the dense-path analog is the lorenz84 zh flows,
+    ref test/hopf_codim_2/lorenz84.jl:350-371):
+
+        s_t = Lap s + p1 + s^2
+        z_t = Lap z + (a + alpha s) z + i nu z      (z = x + i y)
+
+    with Neumann Laplacians, state (3, Nx, Ny).  Constant states
+    s = +-sqrt(-p1), z = 0; per DCT mode k the jacobian is block diagonal
+    with s-block (lam_k + 2 s) and z-block (lam_k + a + alpha s +- i nu):
+
+      * fold curve in (p1, a):  EXACTLY p1 = 0 (s = 0), all a
+      * zero-Hopf ON that curve at a = 0
+      * Hopf curve through the ZH:  a + alpha s = 0  ->  p1 = -(a/alpha)^2
+        with omega = nu exactly.
+    """
+    hx2 = (2 * lx / Nx) ** 2
+    hy2 = (2 * ly / Ny) ** 2
+    from .sh import _lap_neumann
+
+    def lap(u):
+        return _lap_neumann(u, hx2, 0) + _lap_neumann(u, hy2, 1)
+
+    def F(u, par):
+        s, x, y = u[0], u[1], u[2]
+        pp1, aa, al, nn = par["p1"], par["a"], par["alpha"], par["nu"]
+        g = aa + al * s
+        return jnp.stack([lap(s) + pp1 + s * s,
+                          lap(x) + g * x - nn * y,
+                          lap(y) + nn * x + g * y])
+
+    s0 = -np.sqrt(max(-p1, 0.0))
+    u0 = jnp.zeros((3, Nx, Ny)).at[0].set(s0)
+    prob = BifurcationProblem(
+        F, u0=u0, params={"p1": p1, "a": a, "alpha": alpha, "nu": nu},
+        lens="p1",
+        record_from_solution=lambda x, p, **k: {
+            "param": p, "norm": jnp.linalg.norm(x.ravel()),
+            "smean": jnp.mean(x[0])})
+
+    # DCT-II diagonalizes the modified-corner Neumann second difference:
+    # blockdiag (Lap - shift)^{-1} per component
+    mu_x = 2.0 * (np.cos(np.pi * np.arange(Nx) / Nx) - 1) / hx2
+    mu_y = 2.0 * (np.cos(np.pi * np.arange(Ny) / Ny) - 1) / hy2
+    sym = jnp.asarray(mu_x[:, None] + mu_y[None, :], jnp.float32)
+
+    def precond(v, shift=1.0):
+        import jax as _jax
+
+        shp = v.shape
+        x = v.reshape((3, Nx, Ny)).astype(jnp.float32)
+        t = _jax.scipy.fft.dct(_jax.scipy.fft.dct(x, type=2, norm="ortho",
+                                                  axis=1),
+                               type=2, norm="ortho", axis=2)
+        t = t / (sym - shift)[None]
+        out = _jax.scipy.fft.idct(_jax.scipy.fft.idct(t, type=2,
+                                                      norm="ortho", axis=2),
+                                  type=2, norm="ortho", axis=1)
+        return out.astype(v.dtype).reshape(shp)
+
+    object.__setattr__(prob, "spectral_precond", precond)
+    return prob

@@ -405,3 +405,101 @@ def test_l1_kernel_mf_vs_dense_parity():
         # on the trivial-state curve l1 is a fixed positive multiple of
         # Re(c3): the SIGN (all GH/bisection logic consumes only the sign)
         assert v_d < 0
+
+
+def test_bt_nf_mf_parity():
+    """Bordered/iterative BT normal form == dense path (VERDICT r4 next
+    #5): Jordan chains by [0;1]-driven deflated bordered solves, the
+    unfolding's Ainv through the extended operator and the (K10, K11, K2)
+    block through the 2-border operator (the reference's bls +
+    solve_bls_block, ref src/codim2/NormalForms.jl:40-41,148-262).  The
+    model's cubic terms make every REF3 coefficient nonzero."""
+    from bifurcationkit.jl_tpu.codim2.normal_forms import bt_normal_form
+    from bifurcationkit.jl_tpu.codim2.unfolding import bt_unfolding
+    from bifurcationkit.jl_tpu.core.lens import as_lens
+
+    def F(u, par):
+        x, y = u[0], u[1]
+        return jnp.array([y + 0.3 * x * x,
+                          par["b1"] + par["b2"] * x + x * x - x * y
+                          + 0.5 * x ** 3 + 0.2 * x * x * y])
+
+    prob = bk.BifurcationProblem(F, u0=jnp.zeros(2),
+                                 params={"b1": 0.0, "b2": 0.0}, lens="b1")
+    x0 = jnp.zeros(2)
+    pt_d = bt_normal_form(prob, x0, prob.params)
+    pt_m = bt_normal_form(prob, x0, prob.params, matrix_free=True)
+    nf_d = bt_unfolding(prob, x0, prob.params, as_lens("b1"),
+                        as_lens("b2"), pt=pt_d)
+    nf_m = bt_unfolding(prob, x0, prob.params, as_lens("b1"),
+                        as_lens("b2"), pt=pt_m, matrix_free=True)
+    for k in ("a", "b", "d", "e", "a1", "b1"):
+        assert abs(nf_d[k] - nf_m[k]) < 1e-8 * max(abs(nf_d[k]), 1.0), \
+            (k, nf_d[k], nf_m[k])
+    for k in ("K10", "K11", "K2"):
+        np.testing.assert_allclose(np.asarray(nf_m[k]), np.asarray(nf_d[k]),
+                                   atol=1e-8)
+    # at least one genuinely nonzero higher coefficient on each side
+    assert abs(nf_d["d"]) > 1e-3 and abs(nf_d["e"]) > 1e-3
+    # the homoclinic predictor consumes the MF unfolding unchanged
+    from bifurcationkit.jl_tpu.codim2.unfolding import predictor_homoclinic_bt
+
+    hom = predictor_homoclinic_bt(nf_m, 0.1)
+    assert np.isfinite(hom["p1"]) and np.isfinite(hom["p2"])
+    assert np.all(np.isfinite(hom["orbit"](0.5)))
+
+
+def test_switch_codim2_mf_fold_zh_hopf():
+    """MF fold curve -> ZH -> MF Hopf curve through the same point
+    (VERDICT r4 missing #3; ref the jacobian_ma-generic switch dispatch,
+    src/codim2/codim2.jl:400-560) at 3,072 dof, on the constructed
+    fold-Hopf PDE whose codim-2 geometry is EXACT: fold curve p1 = 0, ZH
+    at a = 0, switched Hopf curve p1 = -(a/alpha)^2 with omega = nu."""
+    Nx = Ny = 32
+    base = models.fold_hopf_interaction_2d(Nx=Nx, Ny=Ny, p1=-0.25)
+    ls = bk.GMRES(restart=40, maxiter=300, rtol=1e-10,
+                  precond=base.spectral_precond)
+    cp = bk.ContinuationPar(ds=0.02, dsmax=0.03, dsmin=1e-6, p_min=-0.3,
+                            p_max=0.3, max_steps=40, detect_bifurcation=0,
+                            detect_fold=True,
+                            newton_options=bk.NewtonPar(
+                                tol=1e-9, max_iterations=25, linsolver=ls))
+    br = bk.continuation(base, bk.PALC(), cp)
+    folds = br.get_special_points("fold")
+    assert folds and abs(folds[0].param) < 2e-2
+    idx = br.specialpoint.index(folds[0])
+
+    cp2 = bk.ContinuationPar(ds=0.05, dsmax=0.1, dsmin=1e-6, p_min=-0.8,
+                             p_max=0.8, max_steps=8, detect_bifurcation=2,
+                             nev=8, n_inversion=4,
+                             newton_options=bk.NewtonPar(
+                                 tol=1e-9, max_iterations=25, linsolver=ls))
+    brf = bk.continuation_fold(br, idx, "a", cp2,
+                               detect_codim2_bifurcation=2,
+                               jacobian_ma="minaug")
+    tf = brf.gamma._table()
+    # the mode-0 fold curve is exactly p1 = 0
+    assert np.max(np.abs(np.asarray(tf["p1"]))) < 5e-2
+    zhs = [sp for sp in brf.specialpoint if sp.type == "zh"]
+    assert zhs, "no zh detected on the MF fold curve"
+    zh = min(zhs, key=lambda sp: abs(sp.param))
+    assert abs(zh.param) < 0.12
+    izh = brf.gamma.specialpoint.index(zh)
+
+    from bifurcationkit.jl_tpu.codim2.minaug import switch_codim2
+
+    cp3 = bk.ContinuationPar(ds=0.05, dsmax=0.1, dsmin=1e-6, p_min=-0.8,
+                             p_max=0.8, max_steps=6, detect_bifurcation=0,
+                             detect_fold=False,
+                             newton_options=bk.NewtonPar(
+                                 tol=1e-9, max_iterations=25, linsolver=ls))
+    brh = switch_codim2(brf, izh, cp3, detect_codim2_bifurcation=0)
+    assert getattr(brh.gamma.prob, "ma_mf", False)
+    th = brh.gamma._table()
+    assert len(th["param"]) >= 4
+    # EXACT geometry: p1 = -(a/alpha)^2 (alpha = 1), omega = nu = 1 —
+    # sigma-singularity equivalent: the MA functional is converged ON the
+    # analytic Hopf surface at every step
+    resid = np.asarray(th["p1"]) + np.asarray(th["param"]) ** 2
+    assert np.max(np.abs(resid)) < 1e-8, resid
+    np.testing.assert_allclose(np.asarray(th["omega"]), 1.0, atol=1e-9)
