@@ -685,13 +685,18 @@ def po_cgl_steps_per_s(warmup=2, timed=5, with_floquet=True):
     else:
         ls = bk.GMRES(restart=30, maxiter=300, rtol=1e-9, precond=pre)
     c0 = T0 / (M - 1) / 2.0
-    mono_ls = bk.GMRES(restart=20, maxiter=80, rtol=1e-6,
+    # Floquet sweep: multipliers only feed count-based detection
+    # (tol_stability 1e-3), so the whole M-slice monodromy chain runs
+    # native f32 on TPU (inner-solve rtol at the f32 attainable floor)
+    mono_ls = bk.GMRES(restart=20, maxiter=80,
+                       rtol=1e-5 if on_tpu else 1e-6,
                        precond=slice_spectral_precond(blocks, to_m, from_m,
                                                       c0))
     params_new = base.set_lens_param(base.params, float(pred["p"]))
-    po_prob = periodic_orbit_problem(base, disc, X0, params=params_new,
-                                     floquet="qad_mf",
-                                     floquet_linsolver=mono_ls)
+    po_prob = periodic_orbit_problem(
+        base, disc, X0, params=params_new, floquet="qad_mf",
+        floquet_linsolver=mono_ls,
+        floquet_compute_dtype=jnp.float32 if on_tpu else None)
     cpo = _po_contparams(bk.ContinuationPar(
         ds=0.005, dsmax=0.02, dsmin=1e-8, p_min=0.0, p_max=2.5,
         max_steps=warmup + timed + 2, nev=8,

@@ -573,7 +573,11 @@ class SubspaceEig:
             blocks.append(opb(blocks[-1]))
         B, _ = jnp.linalg.qr(jnp.concatenate(blocks, axis=1))
         Z = opb(B)
-        H = B.T @ Z                          # (k b, k b) projected operator
+        # full-precision contractions: TPU's default bf16 matmul passes
+        # put ~1e-3 noise on the projected operator — the same order as
+        # the stability tolerance the multipliers feed
+        hi = jax.lax.Precision.HIGHEST
+        H = jnp.matmul(B.T, Z, precision=hi)  # (k b, k b) projected op
         bk_ = B.shape[1]
 
         def host_ritz(Hm):
@@ -592,8 +596,8 @@ class SubspaceEig:
         # normalize Ritz vectors; residual R = (A - w I)(B y) = Z y - B y w
         y = y / jnp.maximum(jnp.linalg.norm(y, axis=0, keepdims=True),
                             float(jnp.finfo(dtype).tiny))
-        By = B.astype(cdtype) @ y
-        R = Z.astype(cdtype) @ y - By * w[None, :]
+        By = jnp.matmul(B.astype(cdtype), y, precision=hi)
+        R = jnp.matmul(Z.astype(cdtype), y, precision=hi) - By * w[None, :]
         resid = jnp.linalg.norm(R, axis=0)
         # residual-filtered :LM selection: a Krylov subspace of a nonnormal
         # operator carries SPURIOUS large-modulus Ritz values (field-of-

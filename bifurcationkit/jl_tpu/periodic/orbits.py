@@ -37,7 +37,8 @@ def periodic_orbit_problem(prob_vf: BifurcationProblem, disc, X0,
                            update_section_every_step: int = 1,
                            use_cop: bool = False,
                            floquet: str = "qad",
-                           floquet_linsolver=None):
+                           floquet_linsolver=None,
+                           floquet_compute_dtype=None):
     """Build the PO BifurcationProblem for any discretization."""
     params = prob_vf.params if params is None else params
     flatvf, unravel_vf = ravel(prob_vf.u0)
@@ -189,6 +190,18 @@ def periodic_orbit_problem(prob_vf: BifurcationProblem, disc, X0,
                 "monodromy_operator (Shooting or Trapeze)")
 
         def eig_jacobian(X, par):
+            if floquet_compute_dtype is not None:
+                # reduced-precision Floquet sweep: multipliers are needed
+                # to ~tol_stability (1e-3) for detection; the whole
+                # M-slice chain (jvps + inner solves) runs native f32 on
+                # TPU where f64 is emulated
+                ed = floquet_compute_dtype
+                X = X.astype(ed)
+                par = jax.tree_util.tree_map(
+                    lambda a: a.astype(ed)
+                    if (hasattr(a, "dtype")
+                        and jnp.issubdtype(a.dtype, jnp.floating)) else a,
+                    par)
             return disc.monodromy_operator(prob_vf, X, par,
                                            linsolver=floquet_linsolver)
     else:
@@ -254,6 +267,7 @@ def _floquet_mode(contparams: ContinuationPar, floquet=None) -> str:
 def continuation_po(prob_vf, disc, X0, contparams: ContinuationPar,
                     alg=None, params=None, use_cop: bool = False,
                     floquet=None, floquet_linsolver=None,
+                    floquet_compute_dtype=None,
                     **kwargs) -> Branch:
     """Continue a periodic orbit in the vector field's lens parameter."""
     alg = alg or PALC()
@@ -261,7 +275,8 @@ def continuation_po(prob_vf, disc, X0, contparams: ContinuationPar,
                                      use_cop=use_cop,
                                      floquet=_floquet_mode(contparams,
                                                            floquet),
-                                     floquet_linsolver=floquet_linsolver)
+                                     floquet_linsolver=floquet_linsolver,
+                                     floquet_compute_dtype=floquet_compute_dtype)
     cp = _po_contparams(contparams)
     if use_cop:
         from .cop import COPBLS, COPLS
@@ -283,6 +298,7 @@ def continuation_hopf_po(br, ind_hopf: int, contparams: ContinuationPar,
                          ampfactor: float = 1.0, use_cop: bool = False,
                          nf_kwargs: Optional[dict] = None,
                          floquet_linsolver=None,
+                         floquet_compute_dtype=None,
                          **kwargs) -> Branch:
     """Automatic branch switching Hopf -> periodic orbits
     (ref continuation(br, ind_hopf, contparams, disc),
@@ -298,12 +314,14 @@ def continuation_hopf_po(br, ind_hopf: int, contparams: ContinuationPar,
                                    delta_p=delta_p, ampfactor=ampfactor,
                                    use_cop=use_cop,
                                    floquet_linsolver=floquet_linsolver,
+                                   floquet_compute_dtype=floquet_compute_dtype,
                                    **kwargs)
 
 
 def _continuation_hopf_pred(prob_vf, hp, contparams, disc, alg=None,
                             delta_p=None, ampfactor=1.0, use_cop=False,
-                            floquet_linsolver=None, **kwargs) -> Branch:
+                            floquet_linsolver=None,
+                            floquet_compute_dtype=None, **kwargs) -> Branch:
     """Common Hopf-normal-form -> PO-branch tail (ref _continuation(hopfpt,
     ...), PeriodicOrbits.jl:395-530)."""
     alg = alg or PALC()
@@ -319,7 +337,8 @@ def _continuation_hopf_pred(prob_vf, hp, contparams, disc, alg=None,
     po_prob = periodic_orbit_problem(prob_vf, disc, X0, params=params_new,
                                      use_cop=use_cop,
                                      floquet=_floquet_mode(contparams),
-                                     floquet_linsolver=floquet_linsolver)
+                                     floquet_linsolver=floquet_linsolver,
+                                     floquet_compute_dtype=floquet_compute_dtype)
     cp = _po_contparams(contparams)
     if use_cop:
         from .cop import COPBLS, COPLS

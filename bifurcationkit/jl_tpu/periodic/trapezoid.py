@@ -169,6 +169,12 @@ class Trapeze:
         (identity on the period/phase border slot)."""
         M = self.M
         lo = jnp.float32
+        # the cyclic solve is a ~M-step CHAIN of tiny matmuls: TPU's
+        # default (bf16-pass) matmul precision accumulates ~1e-2 relative
+        # error through the chain, silently capping the preconditioned
+        # Krylov floor and stalling the mixed-precision corrector — pin
+        # full f32 precision (the (K, c, c) contractions cost nothing)
+        hi = jax.lax.Precision.HIGHEST
         Lk = jnp.asarray(sym_blocks, lo)
         K, c = Lk.shape[0], Lk.shape[-1]
         eye = jnp.eye(c, dtype=lo)
@@ -176,10 +182,10 @@ class Trapeze:
         B = eye[None, None] - ci[:, None, None, None] * Lk[None]
         A = eye[None, None] + ci[:, None, None, None] * Lk[None]
         Binv = jnp.linalg.inv(B)                      # (M-1, K, c, c)
-        S = Binv @ A
+        S = jnp.matmul(Binv, A, precision=hi)
 
         def _mul(Phi, Si):
-            return Si @ Phi, None
+            return jnp.matmul(Si, Phi, precision=hi), None
 
         Phi, _ = jax.lax.scan(_mul, jnp.broadcast_to(eye, (K, c, c)), S)
         Minv = jnp.linalg.inv((1.0 + delta) * eye[None] - Phi)
@@ -189,18 +195,20 @@ class Trapeze:
             b0 = to_modes(v[:n].astype(lo))                      # (K, c)
             rows = v[n:-1].reshape(M - 1, n)
             bi = jax.vmap(lambda r: to_modes(r.astype(lo)))(rows)
-            t = jnp.einsum("ikab,ikb->ika", Binv, bi)
+            t = jnp.einsum("ikab,ikb->ika", Binv, bi, precision=hi)
 
             def acc(g, dat):
                 Si, ti = dat
-                return jnp.einsum("kab,kb->ka", Si, g) + ti, None
+                return jnp.einsum("kab,kb->ka", Si, g,
+                                  precision=hi) + ti, None
 
             g, _ = jax.lax.scan(acc, jnp.zeros_like(b0), (S, t))
-            v0 = jnp.einsum("kab,kb->ka", Minv, b0 + g)
+            v0 = jnp.einsum("kab,kb->ka", Minv, b0 + g, precision=hi)
 
             def fwd(vprev, dat):
                 Si, ti = dat
-                vi = jnp.einsum("kab,kb->ka", Si, vprev) + ti
+                vi = jnp.einsum("kab,kb->ka", Si, vprev,
+                                precision=hi) + ti
                 return vi, vi
 
             _, vrest = jax.lax.scan(fwd, v0, (S, t))
@@ -222,11 +230,12 @@ def slice_spectral_precond(sym_blocks, to_modes, from_modes, c0):
     c = Lk.shape[-1]
     eye = jnp.eye(c, dtype=lo)
     Binv = jnp.linalg.inv(eye[None] - float(c0) * Lk)
+    hi = jax.lax.Precision.HIGHEST
 
     def apply(v):
         dt = v.dtype
         w = to_modes(v.astype(lo))
-        w = jnp.einsum("kab,kb->ka", Binv, w)
+        w = jnp.einsum("kab,kb->ka", Binv, w, precision=hi)
         return from_modes(w).astype(dt)
 
     return apply

@@ -38,11 +38,26 @@ def main(Nx=21, Ny=11, po_steps=6):
     # up from the problem (spectral_precond accepts flat vectors)
     object.__setattr__(prob, "spectral_precond", base.spectral_precond)
 
+    # stability sweep: every cGL2d mode carries the SAME +-i nu rotation,
+    # so the spectrum is two vertical lines — plain LR Arnoldi converges
+    # at the Re-gap/spread ratio (~1e-4 at full size: kr=60 leaves ~2e-2
+    # eigenvalue bias, enough to MISLOCATE the Hopf).  Shift-invert at
+    # sigma = 0 separates the leading pair by |lambda| (~1 vs 1.86x) and
+    # localizes to bisection precision.
+    if 2 * Nx * Ny > 600:
+        eig = bk.ShiftInvertEig(
+            sigma=0.0,
+            eigsolver=ArnoldiEig(which="LM", krylov_dim=40, restarts=2,
+                                 tol=1e-10),
+            linsolver=GMRES(restart=40, maxiter=200, rtol=1e-8,
+                            precond=base.spectral_precond))
+    else:
+        eig = ArnoldiEig(krylov_dim=60, restarts=4)
     nopts = bk.NewtonPar(tol=1e-9, max_iterations=20,
                          linsolver=GMRES(restart=40, maxiter=400,
                                          rtol=1e-10,
                                          precond=base.spectral_precond),
-                         eigsolver=ArnoldiEig(krylov_dim=60, restarts=4))
+                         eigsolver=eig)
     cp = bk.ContinuationPar(ds=0.02, dsmax=0.05, dsmin=1e-6, p_min=0.0,
                             p_max=2.5, max_steps=80, detect_bifurcation=3,
                             nev=10, n_inversion=4, newton_options=nopts)
@@ -115,7 +130,9 @@ def main(Nx=21, Ny=11, po_steps=6):
             ls_po = bk.GMRES(restart=30, maxiter=300, rtol=1e-9,
                              precond=pre)
         c0 = float(T0) / (M - 1) / 2.0
-        mono_ls = bk.GMRES(restart=20, maxiter=80, rtol=1e-6,
+        on_tpu = jax.default_backend() != "cpu"
+        mono_ls = bk.GMRES(restart=20, maxiter=80,
+                           rtol=1e-5 if on_tpu else 1e-6,
                            precond=slice_spectral_precond(blocks, to_m,
                                                           from_m, c0))
         cp_po = bk.ContinuationPar(
@@ -127,10 +144,10 @@ def main(Nx=21, Ny=11, po_steps=6):
                 eigsolver=FloquetQaDMF(eigsolver=bk.SubspaceEig(
                     sweeps=2, krylov_blocks=3, extra=4, tol=1e-6))))
         t0 = time.time()
-        br_po = bk.continuation_hopf_po(br, i, cp_po, disc=disc,
-                                        delta_p=0.003,
-                                        nf_kwargs={"matrix_free": True},
-                                        floquet_linsolver=mono_ls)
+        br_po = bk.continuation_hopf_po(
+            br, i, cp_po, disc=disc, delta_p=0.003,
+            nf_kwargs={"matrix_free": True}, floquet_linsolver=mono_ls,
+            floquet_compute_dtype=jnp.float32 if on_tpu else None)
         dt = time.time() - t0
         tbl = br_po.gamma._table()
         print(f"trapeze PO branch ({2 * Nx * Ny}-dof vf, M={M} -> "
