@@ -869,4 +869,12 @@ if __name__ == "__main__":
                 print(json.dumps({"metric": "po-leg-failed",
                                   "error": str(err)[:200]}),
                       file=sys.stderr)
+            try:
+                # the reference's only-timings workload at TRUE size
+                # (87,823 unknowns) — VERDICT r4 missing #2
+                main_po_cgl()
+            except Exception as err:
+                print(json.dumps({"metric": "po-cgl-leg-failed",
+                                  "error": str(err)[:200]}),
+                      file=sys.stderr)
         main_flagship()

@@ -1251,7 +1251,7 @@ def continuation_hopf_mf(br, ind_bif: int, lens2,
                          alg=None, detect_codim2_bifurcation: int = 2,
                          update_minaug_every_step: int = 1,
                          compute_lyapunov: bool = True,
-                         gh_every: int = 1,
+                         gh_every: int = 2,
                          precond=None, gmres_opts: Optional[dict] = None,
                          bootstrap_iters: int = 3, low_dtype="auto",
                          **kwargs) -> Branch:

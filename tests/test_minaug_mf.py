@@ -469,11 +469,21 @@ def test_switch_codim2_mf_fold_zh_hopf():
     assert folds and abs(folds[0].param) < 2e-2
     idx = br.specialpoint.index(folds[0])
 
+    from bifurcationkit.jl_tpu.linalg.eig import ArnoldiEig
+
+    # inner-spectrum accuracy gates the ZH count: the spectrum spreads to
+    # ~-800 while the crossing pair sits at Re = a, so the MA default
+    # Arnoldi width (kr=40) carries ~0.2 Re-bias here — a 128-wide basis
+    # resolves the rightmost trio {0 (fold), a +- i nu} to ~1e-3
     cp2 = bk.ContinuationPar(ds=0.05, dsmax=0.1, dsmin=1e-6, p_min=-0.8,
                              p_max=0.8, max_steps=8, detect_bifurcation=2,
-                             nev=8, n_inversion=4,
+                             nev=6, n_inversion=4,
                              newton_options=bk.NewtonPar(
-                                 tol=1e-9, max_iterations=25, linsolver=ls))
+                                 tol=1e-9, max_iterations=25, linsolver=ls,
+                                 eigsolver=ArnoldiEig(which="LR",
+                                                      krylov_dim=128,
+                                                      restarts=8,
+                                                      tol=1e-6)))
     brf = bk.continuation_fold(br, idx, "a", cp2,
                                detect_codim2_bifurcation=2,
                                jacobian_ma="minaug")
