@@ -63,6 +63,7 @@ def multicontinuation(br, ind_bif: int,
                       contparams: Optional[ContinuationPar] = None,
                       alg=None, *, delta_p: Optional[float] = None,
                       ampfactor: float = 1.0, perturb=None,
+                      nf_kwargs: Optional[dict] = None,
                       verbose: bool = False, **cont_kwargs):
     """Branch switching at an Nd branch point: find the zeros of the reduced
     polynomial system with deflated Newton, continue each
@@ -72,7 +73,8 @@ def multicontinuation(br, ind_bif: int,
     prob = br.prob
     contparams = contparams or br.contparams
     alg = alg or PALC()
-    nf = get_normal_form(br, ind_bif, prob=prob, verbose=verbose)
+    nf = get_normal_form(br, ind_bif, prob=prob, verbose=verbose,
+                         **(nf_kwargs or {}))
     ds = delta_p if delta_p is not None else contparams.ds
 
     branches = []

@@ -881,6 +881,7 @@ def get_normal_form(br, ind_bif: int, prob=None, verbose: bool = False,
         from .codim1_nd import get_normal_form_nd
 
         if abs(sp.delta[0]) > 1 or sp.type == "nd":
-            return get_normal_form_nd(prob, br, ind_bif, verbose=verbose)
+            return get_normal_form_nd(prob, br, ind_bif, verbose=verbose,
+                                      **kwargs)
         return get_normal_form1d(prob, br, ind_bif, verbose=verbose, **kwargs)
     raise ValueError(f"no normal form available for point type {sp.type!r}")

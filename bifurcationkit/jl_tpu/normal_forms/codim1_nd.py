@@ -32,34 +32,131 @@ def biorthogonalise(zetas, zetas_ad):
     return zetas, new_ad
 
 
+def _nd_basis_mf(fp, prob, parbif, N: int, seeds=None, precond=None,
+                 gmres_opts=None, sweeps: int = 3):
+    """Matrix-free N-dimensional (right, left) kernel bases by BLOCK
+    bordered inverse iteration: the N-border extended operator
+    [J, W; V^T, 0] is nonsingular at the bifurcation (W spans the
+    cokernel estimate), and the [0; e_i]-driven solves return kernel
+    vectors EXACTLY there (the scalar slots must vanish — same argument
+    as the BT chain solves); re-anchoring + QR converges the block.
+    The PDE-scale replacement for the two dense_eig calls (the reference
+    computes the same bases through its eigensolver abstraction,
+    ref src/NormalForms.jl:656-720)."""
+    import jax
+
+    from ..codim2.minaug_mf import _make_ma_gmres
+
+    n = fp.n
+    if precond is None:
+        precond = getattr(prob, "spectral_precond", None)
+    gm = _make_ma_gmres(precond, n, 1, gmres_opts)
+    from ..core.state import ravel as _ravel
+
+    Jd = lambda d: fp.dF(d)                       # noqa: E731
+    Jtd = lambda d: _ravel(prob.dFt(              # noqa: E731
+        fp.unravel(fp.flat0), parbif, fp.unravel(d)))[0]
+
+    eyeN = jnp.eye(N, dtype=np.asarray(fp.flat0).dtype)
+
+    def _solveN(Jop, cols, rows, ei):
+        def op(z):
+            zx, zs = z[:n], z[n:]
+            return jnp.concatenate([Jop(zx) + cols @ zs, rows.T @ zx])
+
+        rhs = jnp.concatenate([jnp.zeros((n,), cols.dtype), ei])
+        sol, _, _ = gm(op, rhs)
+        return sol[:n]
+
+    @jax.jit
+    def _sweep(V, W):
+        Vn = jax.vmap(lambda ei: _solveN(Jd, W, V, ei),
+                      out_axes=1)(eyeN)
+        Vn, _ = jnp.linalg.qr(Vn)
+        Wn = jax.vmap(lambda ei: _solveN(Jtd, Vn, W, ei),
+                      out_axes=1)(eyeN)
+        Wn, _ = jnp.linalg.qr(Wn)
+        return Vn, Wn
+
+    if seeds is None:
+        rng = np.random.default_rng(31)
+        seeds = rng.standard_normal((n, N))
+    V = jnp.asarray(np.asarray(seeds, np.asarray(fp.flat0).dtype))
+    V, _ = jnp.linalg.qr(V)
+    W = V
+    for _ in range(sweeps):
+        V, W = _sweep(V, W)
+    return V, W, gm
+
+
 def get_normal_form_nd(prob, br, ind_bif: int, verbose: bool = False,
-                       tol_fold: float = 1e-3):
+                       tol_fold: float = 1e-3, matrix_free: bool = False,
+                       precond=None, gmres_opts=None):
+    """Nd-kernel normal form.  `matrix_free=True` = the PDE-scale route:
+    kernel/adjoint bases by block bordered inverse iteration and every
+    Lyapunov-Schmidt projection through the N-border extended operator
+    with preconditioned GMRES — nothing materializes the jacobian
+    (completes the r4/r5 matrix-free NF family for multi-dimensional
+    kernels, e.g. the reference's D4 Mittelmann aBS use case)."""
+    import jax
+
     sp = br.specialpoint[ind_bif]
     N = abs(sp.delta[0])
     assert N > 1, "use get_normal_form1d for 1d kernels"
     p = sp.param
     parbif = prob.set_lens_param(prob.params, p)
     fp = _FlatProblem(prob, sp.x, parbif)
-    L = np.asarray(fp.jacobian())
+    n = fp.n
 
-    # kernel basis: eigenvectors for the N eigenvalues closest to zero
+    seeds = None
     if sp.eigenvecs is not None and sp.eigenvals is not None:
         ind = max(int(sp.ind_ev), N)
         vecs = np.asarray(sp.eigenvecs)
-        zetas = [np.real(vecs[:, i]) for i in range(ind - N, ind)]
-    else:
-        vals, vecs = dense_eig(jnp.asarray(L))
-        vals = np.asarray(vals)
-        order = np.argsort(np.abs(vals.real))[:N]
-        zetas = [np.real(np.asarray(vecs)[:, i]) for i in order]
-    zetas = [z / np.linalg.norm(z) for z in zetas]
+        seeds = np.stack([np.real(vecs[:, i])
+                          for i in range(ind - N, ind)], axis=1)
 
-    # adjoint basis
-    valsT, vecsT = dense_eig(jnp.asarray(L.T))
-    valsT = np.asarray(valsT)
-    orderT = np.argsort(np.abs(valsT.real))[:N]
-    zetas_ad = [np.real(np.asarray(vecsT)[:, i]) for i in orderT]
-    zetas, zetas_ad = biorthogonalise(zetas, zetas_ad)
+    if matrix_free:
+        L = None
+        Vb, Wb, gm = _nd_basis_mf(fp, prob, parbif, N, seeds=seeds,
+                                  precond=precond, gmres_opts=gmres_opts)
+        zetas = [np.asarray(Vb[:, i]) for i in range(N)]
+        zetas_ad = [np.asarray(Wb[:, i]) for i in range(N)]
+        zetas, zetas_ad = biorthogonalise(zetas, zetas_ad)
+        colsb = jnp.asarray(np.stack(zetas_ad, axis=1))
+        rowsb = jnp.asarray(np.stack(zetas, axis=1))
+        Jd = lambda d: fp.dF(d)                   # noqa: E731
+
+        @jax.jit
+        def _bls_mf(rhs):
+            def op(z):
+                zx, zs = z[:n], z[n:]
+                return jnp.concatenate([Jd(zx) + colsb @ zs,
+                                        rowsb.T @ zx])
+
+            rhsx = jnp.concatenate([rhs, jnp.zeros((N,), rhs.dtype)])
+            sol, _, _ = gm(op, rhsx)
+            return sol[:n]
+
+        def bls(rhs):
+            return np.asarray(_bls_mf(jnp.asarray(np.asarray(rhs))))
+    else:
+        L = np.asarray(fp.jacobian())
+        # kernel basis: eigenvectors for the N eigenvalues closest to zero
+        if seeds is not None:
+            zetas = [seeds[:, i] for i in range(N)]
+        else:
+            vals, vecs = dense_eig(jnp.asarray(L))
+            vals = np.asarray(vals)
+            order = np.argsort(np.abs(vals.real))[:N]
+            zetas = [np.real(np.asarray(vecs)[:, i]) for i in order]
+        zetas = [z / np.linalg.norm(z) for z in zetas]
+
+        # adjoint basis
+        valsT, vecsT = dense_eig(jnp.asarray(L.T))
+        valsT = np.asarray(valsT)
+        orderT = np.argsort(np.abs(valsT.real))[:N]
+        zetas_ad = [np.real(np.asarray(vecsT)[:, i]) for i in orderT]
+        zetas, zetas_ad = biorthogonalise(zetas, zetas_ad)
 
     def E(x):
         """Projection onto Range(L)."""
@@ -68,19 +165,20 @@ def get_normal_form_nd(prob, br, ind_bif: int, verbose: bool = False,
             x = x - np.real(np.vdot(za, x)) * z
         return x
 
-    # block-bordered solve: [L  Z*; Z' 0][w; s] = [rhs; 0]
-    n = L.shape[0]
-    A = np.zeros((n + N, n + N))
-    A[:n, :n] = L
-    for i in range(N):
-        A[:n, n + i] = zetas_ad[i]
-        A[n + i, :n] = zetas[i]
-    A_fact = A
+    if not matrix_free:
+        # block-bordered solve: [L  Z*; Z' 0][w; s] = [rhs; 0]
+        A = np.zeros((n + N, n + N))
+        A[:n, :n] = L
+        for i in range(N):
+            A[:n, n + i] = zetas_ad[i]
+            A[n + i, :n] = zetas[i]
+        A_fact = A
 
-    def bls(rhs):
-        sol = np.linalg.solve(A_fact, np.concatenate([np.asarray(rhs),
-                                                      np.zeros(N)]))
-        return sol[:n]
+        def bls(rhs):
+            sol = np.linalg.solve(A_fact,
+                                  np.concatenate([np.asarray(rhs),
+                                                  np.zeros(N)]))
+            return sol[:n]
 
     R2 = lambda a, b: np.asarray(fp.d2F(jnp.asarray(a), jnp.asarray(b)))
     R3 = lambda a, b, c: np.asarray(

@@ -67,3 +67,31 @@ def test_mittelmann_simple_bp_switch(mit_branch):
     b = continuation_from_bp(br, ind_bp, cp2)
     x = np.asarray(b.gamma.sol[-1]["x"])
     assert np.ptp(x) > 1e-4
+
+
+def test_mittelmann_nd_nf_mf_parity(mit_branch):
+    """Matrix-free Nd normal form (block bordered inverse iteration +
+    N-border extended-operator projections — nothing materializes the
+    jacobian) against the dense path at the D4 branch point.  The kernel
+    basis carries a rotation freedom, so the comparison uses
+    basis-INVARIANT quantities plus the (basis-independent) predicted
+    branch states."""
+    from bifurcationkit.jl_tpu.normal_forms.codim1_nd import (
+        get_normal_form_nd, nd_branch_predictors)
+
+    prob, br = mit_branch
+    ind_nd = [i for i, sp in enumerate(br.specialpoint)
+              if sp.type == "nd"][0]
+    nf_d = get_normal_form_nd(prob, br, ind_nd)
+    nf_m = get_normal_form_nd(prob, br, ind_nd, matrix_free=True)
+    np.testing.assert_allclose(
+        np.sort(np.linalg.eigvals(nf_m.nf["b11"]).real),
+        np.sort(np.linalg.eigvals(nf_d.nf["b11"]).real), rtol=1e-8)
+    assert np.linalg.norm(nf_m.nf["a01"]) < 1e-7   # pitchfork-type: a ~ 0
+    pd_ = nd_branch_predictors(nf_d, 0.001)
+    pm_ = nd_branch_predictors(nf_m, 0.001)
+    assert len(pd_) == len(pm_) == 8               # D4: 4 stripes + 4 diags
+    Xd = np.stack([p["x1"] for p in pd_])
+    Xm = np.stack([p["x1"] for p in pm_])
+    D = np.linalg.norm(Xd[:, None, :] - Xm[None, :, :], axis=2)
+    assert np.max(np.sort(D.min(axis=1))) < 1e-8
