@@ -98,3 +98,48 @@ def test_mixed_precision_stability_sweep():
     si_dense = bk.ShiftInvertEig(sigma=0.2, compute_dtype=jnp.float32)
     vals_d, _, _, _ = si_dense(prob.jacobian(prob.u0, par), 6)
     assert np.abs(np.asarray(vals_d)[:6] - ref).max() < 5e-3
+
+
+def test_subspace_eig_monodromy_like():
+    """SubspaceEig (blocked orthogonal iteration + block-Krylov
+    Rayleigh-Ritz, residual-filtered :LM) on a monodromy-like spectrum:
+    a few dominant multipliers over a decaying bulk — the Floquet shape
+    it exists for."""
+    import numpy as np
+    from scipy.linalg import block_diag
+
+    from bifurcationkit.jl_tpu.linalg.eig import FlatOperator, SubspaceEig
+
+    rng = np.random.default_rng(5)
+    mu = [1.0, 0.97, 0.6 * np.exp(1j)] + list(
+        rng.uniform(0.001, 0.1, 150) * np.exp(1j * rng.uniform(-3, 3, 150)))
+    blocks = []
+    for m in mu:
+        m = complex(m)
+        if abs(m.imag) < 1e-12:
+            blocks.append(np.array([[m.real]]))
+        else:
+            blocks.append(np.array([[m.real, m.imag], [-m.imag, m.real]]))
+    D = block_diag(*blocks)
+    n = D.shape[0]
+    V = rng.standard_normal((n, n))
+    A = np.linalg.solve(V, D @ V)
+    Aj = jnp.asarray(A)
+    op = FlatOperator(lambda v: Aj @ v, n, jnp.float64)
+    wref = np.linalg.eigvals(A)
+    wref = wref[np.lexsort((-wref.imag, -np.abs(wref)))][:4]
+
+    eig = SubspaceEig(sweeps=2, krylov_blocks=3, extra=4, tol=1e-6)
+    vals, vecs, cv, _ = eig(op, 4)
+    err = np.max(np.abs(np.sort_complex(np.asarray(vals))
+                        - np.sort_complex(wref)))
+    # cold start: good enough for count-based detection (tol_stability
+    # 1e-3 applies to the DOMINANT multipliers, which converge fastest)
+    assert err < 1e-2, err
+    # warm restart from the returned block (Re/Im-interleaved seed)
+    v0 = eig.make_seed(vecs, eig.seed_cols(4))
+    vals2, _, cv2, _ = eig(op, 4, v0=jnp.asarray(v0))
+    err2 = np.max(np.abs(np.sort_complex(np.asarray(vals2))
+                         - np.sort_complex(wref)))
+    assert err2 < 1e-5, err2
+    assert err2 < err / 10

@@ -513,3 +513,49 @@ def test_switch_codim2_mf_fold_zh_hopf():
     resid = np.asarray(th["p1"]) + np.asarray(th["param"]) ** 2
     assert np.max(np.abs(resid)) < 1e-8, resid
     np.testing.assert_allclose(np.asarray(th["omega"]), 1.0, atol=1e-9)
+
+
+def test_po_from_mf_hopf_curve_point():
+    """PO branch from a point ON a matrix-free Hopf curve: the NF at the
+    curve point must auto-route matrix-free (the curve never materialized
+    a jacobian) — ref continuation_from_hopf_point,
+    src/periodicorbit/PeriodicOrbits.jl:530-601."""
+    Nx, Ny = 11, 5
+    base = models.cgl2d(Nx=Nx, Ny=Ny, r=0.1, c3=1.0)
+    from bifurcationkit.jl_tpu.linalg.eig import ArnoldiEig
+
+    nopts = bk.NewtonPar(
+        tol=1e-9, max_iterations=25,
+        linsolver=bk.GMRES(restart=40, maxiter=400, rtol=1e-10,
+                           precond=base.spectral_precond),
+        eigsolver=ArnoldiEig(krylov_dim=40, restarts=4))
+    cp = bk.ContinuationPar(ds=0.02, dsmax=0.05, dsmin=1e-6, p_min=0.0,
+                            p_max=2.5, max_steps=60, detect_bifurcation=3,
+                            nev=8, n_inversion=4, newton_options=nopts)
+    br = bk.continuation(base, bk.PALC(), cp)
+    idx = br.specialpoint.index(br.get_special_points("hopf")[0])
+    cp2 = bk.ContinuationPar(ds=0.02, dsmax=0.05, dsmin=1e-6, p_min=-2.0,
+                             p_max=2.0, max_steps=6, detect_bifurcation=0,
+                             detect_fold=False, save_sol_every_step=1,
+                             newton_options=bk.NewtonPar(
+                                 tol=1e-8, max_iterations=20,
+                                 linsolver=nopts.linsolver))
+    brh = bk.continuation_hopf(br, idx, "gamma", cp2,
+                               detect_codim2_bifurcation=0,
+                               jacobian_ma="minaug")
+    assert getattr(brh.gamma.prob, "ma_mf", False)
+
+    from bifurcationkit.jl_tpu.periodic.orbits import (
+        continuation_from_hopf_point)
+
+    cp_po = bk.ContinuationPar(ds=0.005, dsmax=0.02, dsmin=1e-8,
+                               p_min=-2.0, p_max=2.0, max_steps=3,
+                               detect_bifurcation=0, detect_fold=False,
+                               newton_options=bk.NewtonPar(
+                                   tol=1e-7, max_iterations=25))
+    br_po = continuation_from_hopf_point(brh, 2, cp_po,
+                                         disc=bk.Collocation(Ntst=8, m=3),
+                                         delta_p=0.003, use_cop=True)
+    tbl = br_po.gamma._table()
+    assert len(tbl["param"]) >= 2
+    assert np.all(np.asarray(tbl["period"]) > 0.1)
