@@ -559,3 +559,90 @@ def test_po_from_mf_hopf_curve_point():
     tbl = br_po.gamma._table()
     assert len(tbl["param"]) >= 2
     assert np.all(np.asarray(tbl["period"]) > 0.1)
+
+
+def test_switch_codim2_mf_hh_and_zh_small():
+    """The other MF switch directions at ODE scale: (a) HH on an MF Hopf
+    curve -> the second MF Hopf curve (exact locus b2 + 0.4 b1 = 0 at
+    omega = w2); (b) ZH on the lorenz84 MF Hopf curve -> the MF fold curve
+    (inner jacobian carries an exact zero eigenvalue along it) — the MF
+    mirror of the dense switch tests (ref lorenz84 hp_from_zh/hp_from_hh,
+    test/hopf_codim_2/lorenz84.jl:350-371)."""
+    from bifurcationkit.jl_tpu.codim2.minaug import switch_codim2
+
+    # (a) two-oscillator HH model
+    w1, w2 = 0.9, 1.7
+
+    def F(u, par):
+        z1 = u[0] + 1j * u[1]
+        z2 = u[2] + 1j * u[3]
+        ua1 = u[0] ** 2 + u[1] ** 2
+        ua2 = u[2] ** 2 + u[3] ** 2
+        t1 = ((par["b1"] + 1j * w1) * z1 - 0.5 * z1 * ua1 - 1.0 * z1 * ua2
+              + 0.3 * z1 * z2 + 0.1 * z2 * jnp.conj(z1))
+        t2 = ((par["b2"] + 0.4 * par["b1"] + 1j * w2) * z2 - 2.0 * z2 * ua1
+              - 1.5 * z2 * ua2 + 0.2 * z1 * z1 + 0.15 * z1 * jnp.conj(z2))
+        return jnp.array([jnp.real(t1), jnp.imag(t1),
+                          jnp.real(t2), jnp.imag(t2)])
+
+    prob = bk.BifurcationProblem(F, u0=jnp.zeros(4),
+                                 params={"b1": -0.3, "b2": -0.2}, lens="b1")
+    cp = bk.ContinuationPar(ds=0.02, dsmax=0.05, dsmin=1e-6, p_min=-0.5,
+                            p_max=0.4, max_steps=80, detect_bifurcation=3,
+                            nev=4, n_inversion=6,
+                            newton_options=bk.NewtonPar(tol=1e-10))
+    br = bk.continuation(prob, bk.PALC(), cp)
+    i = br.specialpoint.index(br.get_special_points("hopf")[0])
+    cp2 = bk.ContinuationPar(ds=0.02, dsmax=0.05, dsmin=1e-6, p_min=-0.5,
+                             p_max=0.5, max_steps=60, detect_bifurcation=3,
+                             nev=4, n_inversion=4, detect_fold=False,
+                             tol_stability=1e-6,
+                             newton_options=bk.NewtonPar(tol=1e-10,
+                                                         max_iterations=25))
+    brh = bk.continuation_hopf(br, i, "b2", cp2, detect_codim2_bifurcation=2,
+                               jacobian_ma="minaug")
+    assert getattr(brh.gamma.prob, "ma_mf", False)
+    hhs = [s for s in brh.gamma.specialpoint if s.type == "hh"]
+    assert hhs and abs(hhs[0].param) < 5e-2
+    idx = brh.gamma.specialpoint.index(hhs[0])
+    br2 = switch_codim2(brh, idx,
+                        cp2.replace(max_steps=12, detect_bifurcation=0),
+                        detect_codim2_bifurcation=0)
+    assert getattr(br2.gamma.prob, "ma_mf", False)
+    tbl = br2.gamma._table()
+    np.testing.assert_allclose(np.asarray(tbl["omega"]), w2, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tbl["param"])
+                               + 0.4 * np.asarray(tbl["p1"]), 0.0,
+                               atol=1e-8)
+
+    # (b) lorenz84 zh -> MF fold curve
+    prob84 = models.lorenz84()
+    cpa = bk.ContinuationPar(ds=0.01, dsmax=0.04, dsmin=1e-6, p_min=-1.0,
+                             p_max=5.0, max_steps=300, detect_bifurcation=3,
+                             nev=4, n_inversion=6,
+                             newton_options=bk.NewtonPar(tol=1e-10,
+                                                         max_iterations=30))
+    bra = bk.continuation(prob84, bk.PALC(), cpa)
+    ia = bra.specialpoint.index(bra.get_special_points("hopf")[0])
+    cpb = bk.ContinuationPar(ds=0.01, dsmax=0.03, dsmin=1e-6, p_min=0.0001,
+                             p_max=3.0, max_steps=100, detect_bifurcation=2,
+                             nev=4, detect_fold=False,
+                             newton_options=bk.NewtonPar(tol=1e-9,
+                                                         max_iterations=30))
+    brhm = bk.continuation_hopf(bra, ia, "G", cpb,
+                                detect_codim2_bifurcation=2,
+                                jacobian_ma="minaug")
+    assert getattr(brhm.gamma.prob, "ma_mf", False)
+    zhs = [sp for sp in brhm.gamma.specialpoint if sp.type == "zh"]
+    assert zhs, [sp.type for sp in brhm.gamma.specialpoint]
+    idxz = brhm.gamma.specialpoint.index(zhs[0])
+    brf = switch_codim2(brhm, idxz, cpb.replace(max_steps=20),
+                        detect_codim2_bifurcation=0)
+    assert getattr(brf.gamma.prob, "ma_mf", False)
+    assert len(brf) >= 8
+    sol = brf.gamma.sol[len(brf.gamma.sol) // 2]
+    X = np.asarray(sol["x"])
+    params = {"a": 0.25, "b": 4.0, "G": float(sol["p"]), "F": float(X[4])}
+    J = prob84.jacobian(jnp.asarray(X[:4]), params)
+    vals = np.linalg.eigvals(np.asarray(J))
+    assert float(np.min(np.abs(vals))) < 1e-9
