@@ -1,4 +1,5 @@
-from .equilibria import (brusselator_1d, bvam_1d, carrier, cgl2d, chan,
+from .equilibria import (bogdanov_takens_2d, brusselator_1d, bvam_1d,
+                         carrier, cgl2d, chan,
                          chan_spectral, co_oxidation, fold_hopf_interaction_2d,
                          freire, hopf_normal_2d, lorenz84, lure,
                          pitchfork_1d, stuart_landau, swift_hohenberg_1d,

@@ -550,3 +550,63 @@ def fold_hopf_interaction_2d(Nx: int = 32, Ny: int = 32,
 
     object.__setattr__(prob, "spectral_precond", precond)
     return prob
+
+
+def bogdanov_takens_2d(Nx: int = 40, Ny: int = 40,
+                       lx: float = np.pi / 4, ly: float = np.pi / 4,
+                       b1: float = 0.5, b2: float = 2.0):
+    """PDE-promoted Bogdanov-Takens model (the planar bt_model with Neumann
+    diffusion), state (2, Nx, Ny):
+
+        u_t = Lap u + v
+        v_t = Lap v + b1 + b2 u + u^2 - u v
+
+    Constant states have v = 0 and b1 + b2 u + u^2 = 0; per DCT mode k the
+    jacobian block is [[lam_k, 1], [b2 + 2u - v, lam_k - u]], so the mode-0
+    block is exactly the ODE bt_model: fold curve b1 = b2^2/4 with an EXACT
+    BT at (b1, b2) = (0, 0), u = 0 — the >=3k-dof validation target for the
+    bordered/iterative BT normal form.  The default quarter-size domain
+    keeps the spurious mode-k fold curves (b1 = -(b2 u* + u*^2) at
+    u* = (lam_k^2 - b2)/(2 + lam_k)) far from the mode-0 curve, so the MA
+    corrector cannot hop onto them from a coarsely-located start."""
+    hx2 = (2 * lx / Nx) ** 2
+    hy2 = (2 * ly / Ny) ** 2
+    from .sh import _lap_neumann
+
+    def lap(u):
+        return _lap_neumann(u, hx2, 0) + _lap_neumann(u, hy2, 1)
+
+    def F(w, par):
+        u, v = w[0], w[1]
+        return jnp.stack([lap(u) + v,
+                          lap(v) + par["b1"] + par["b2"] * u + u * u
+                          - u * v])
+
+    u0c = (-b2 + np.sqrt(max(b2 * b2 - 4 * b1, 0.0) + 1e-12)) / 2.0
+    w0 = jnp.zeros((2, Nx, Ny)).at[0].set(u0c)
+    prob = BifurcationProblem(
+        F, u0=w0, params={"b1": b1, "b2": b2}, lens="b1",
+        record_from_solution=lambda x, p, **k: {
+            "param": p, "norm": jnp.linalg.norm(x.ravel()),
+            "umean": jnp.mean(x[0])})
+
+    mu_x = 2.0 * (np.cos(np.pi * np.arange(Nx) / Nx) - 1) / hx2
+    mu_y = 2.0 * (np.cos(np.pi * np.arange(Ny) / Ny) - 1) / hy2
+    sym = jnp.asarray(mu_x[:, None] + mu_y[None, :], jnp.float32)
+
+    def precond(v, shift=1.0):
+        import jax as _jax
+
+        shp = v.shape
+        x = v.reshape((2, Nx, Ny)).astype(jnp.float32)
+        t = _jax.scipy.fft.dct(_jax.scipy.fft.dct(x, type=2, norm="ortho",
+                                                  axis=1),
+                               type=2, norm="ortho", axis=2)
+        t = t / (sym - shift)[None]
+        out = _jax.scipy.fft.idct(_jax.scipy.fft.idct(t, type=2,
+                                                      norm="ortho", axis=2),
+                                  type=2, norm="ortho", axis=1)
+        return out.astype(v.dtype).reshape(shp)
+
+    object.__setattr__(prob, "spectral_precond", precond)
+    return prob
