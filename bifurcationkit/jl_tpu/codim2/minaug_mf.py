@@ -158,17 +158,21 @@ def solve_bordered_ext(Jd, col, row, gmres, rhs_top=None, rhs_bot=1.0,
 
 
 def solve_bordered_ext_cplx(Jd, Omega, cr, ci, dr, di, gmres2,
-                            Jd_lo=None, gm_lo=None, lo=None):
+                            Jd_lo=None, gm_lo=None, lo=None,
+                            rhs_top=None):
     """Real-block embedding of the complex bordered solve
 
-        [K c; d^H 0][v; s] = [0; 1],   K = J + i*Omega*I  (J real)
+        [K c; d^H 0][v; s] = [t; 0],   K = J + i*Omega*I  (J real)
 
     on the flat (2n+2) vector [vr; vi; sr; si].  Returns
     (vr, vi, sr, si, converged).  Forward Hopf system: Omega = -omega,
     c = a, d = b; adjoint: Jd = J^T (vjp), Omega = +omega, c = b, d = a
     (ref the same embedding in minaug._border_solve_reim; SURVEY 'Hard
     parts: complex arithmetic').  (`Jd_lo`, `gm_lo`, `lo`) = the
-    mixed-precision route (see solve_bordered_ext)."""
+    mixed-precision route (see solve_bordered_ext).  The default RHS
+    (rhs_top=None) is the MA null-vector system [0; 1]; `rhs_top=(tr,
+    ti)` gives the deflected-inverse solve with complex top RHS t and
+    zero scalar RHS (the codim-2 normal-form projections)."""
     n = cr.shape[0]
 
     def make_op(Jx, crx, cix, drx, dix, Om):
@@ -184,7 +188,11 @@ def solve_bordered_ext_cplx(Jd, Omega, cr, ci, dr, di, gmres2,
         return op
 
     op = make_op(Jd, cr, ci, dr, di, Omega)
-    rhs = jnp.zeros((2 * n + 2,), cr.dtype).at[2 * n].set(1.0)
+    if rhs_top is None:
+        rhs = jnp.zeros((2 * n + 2,), cr.dtype).at[2 * n].set(1.0)
+    else:
+        tr, ti = rhs_top
+        rhs = jnp.concatenate([tr, ti, jnp.zeros((2,), cr.dtype)])
     if Jd_lo is not None:
         op_lo = make_op(Jd_lo, cr.astype(lo), ci.astype(lo),
                         dr.astype(lo), di.astype(lo),
@@ -193,6 +201,24 @@ def solve_bordered_ext_cplx(Jd, Omega, cr, ci, dr, di, gmres2,
         return sol[:n], sol[n:2 * n], sol[2 * n], sol[2 * n + 1], cv
     sol, cv, _ = gmres2(op, rhs)
     return sol[:n], sol[n:2 * n], sol[2 * n], sol[2 * n + 1], cv
+
+
+def solve_shifted_cplx(Jd, sig_re, sig_im, rhs_re, rhs_im, gm2n):
+    """Solve (sigma I - J) x = b for complex sigma and b over a REAL
+    operator J via the 2n real-block embedding — the matrix-free analog of
+    the codim-2 normal forms' shifted dense solves, e.g.
+    (2 i omega - L) h020 = B(q1, q1) (ref src/codim2/NormalForms.jl
+    computing them through the linear-solver abstraction).  Nonsingular
+    whenever sigma is not an eigenvalue of J.  Returns (xr, xi, cv)."""
+    n = rhs_re.shape[0]
+
+    def op(z):
+        zr, zi = z[:n], z[n:]
+        return jnp.concatenate([sig_re * zr - sig_im * zi - Jd(zr),
+                                sig_re * zi + sig_im * zr - Jd(zi)])
+
+    sol, cv, _ = gm2n(op, jnp.concatenate([rhs_re, rhs_im]))
+    return sol[:n], sol[n:], cv
 
 
 def _cast_tree(tree, dt):

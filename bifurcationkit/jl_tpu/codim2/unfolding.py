@@ -298,43 +298,207 @@ def predictor_fold_po(nf: dict, eps: float):
 # ---------------------------------------------------------------------------
 
 
-def zh_unfolding(prob, x0_tree, params, lens1, lens2):
-    """Detailed ZH normal form (ref src/codim2/NormalForms.jl:1100-1205):
-    REF1 (8.2)-(8.6) second/third-order terms + REF2 (24)-(25) unfolding."""
-    fp = _FlatProblem(prob, x0_tree, params)
-    L = np.asarray(fp.jacobian(), dtype=np.float64)
+def _mf_solver_set(fp, prob, params, precond, gmres_opts):
+    """Shared matrix-free solver kit for the codim-2 unfoldings."""
+    import jax
+
+    from ..linalg.linear import GMRES
+    from .minaug_mf import _make_ma_gmres, ext_precond2
+
     n = fp.n
-    vals, vecs = dense_eig(jnp.asarray(L).astype(jnp.complex128))
-    vals_np = np.asarray(vals)
-    izero = int(np.argmin(np.abs(vals_np)))
-    cand = np.where(vals_np.imag > 1e-8)[0]
-    ih = cand[int(np.argmin(np.abs(vals_np[cand].real)))]
-    lamH = vals_np[ih]
-    w = float(lamH.imag)
-    q0 = np.real(np.asarray(vecs)[:, izero])
-    q0 = q0 / np.linalg.norm(q0)
-    q1 = np.asarray(vecs)[:, ih]
-    q1 = q1 / np.linalg.norm(q1)
-    cq1 = np.conj(q1)
-    valsT, vecsT = dense_eig(jnp.asarray(L.T).astype(jnp.complex128))
-    valsT_np = np.asarray(valsT)
-    p0 = np.real(np.asarray(vecsT)[:, int(np.argmin(np.abs(valsT_np)))])
+    if precond is None:
+        precond = getattr(prob, "spectral_precond", None)
+    gm1 = _make_ma_gmres(precond, n, 1, gmres_opts)
+    gm2 = _make_ma_gmres(precond, n, 2, gmres_opts)
+    o = dict(restart=40, maxiter=240, rtol=1e-10, atol=1e-14)
+    if gmres_opts:
+        o.update(gmres_opts)
+    gm2n = GMRES(precond=ext_precond2(precond, n)
+                 if precond is not None else None, **o)
+    from ..core.state import ravel as _ravel
+
+    Jd = lambda d: fp.dF(d)                       # noqa: E731
+    Jtd = lambda d: _ravel(prob.dFt(              # noqa: E731
+        fp.unravel(fp.flat0), params, fp.unravel(d)))[0]
+    return Jd, Jtd, gm1, gm2, gm2n
+
+
+def _estimate_hopf_omega(fp, Jd, exclude=()):
+    """Leading Hopf frequency by warm Arnoldi on the jvp operator."""
+    import jax
+
+    from ..linalg.eig import ArnoldiEig, FlatOperator
+
+    op = FlatOperator(jax.jit(Jd), fp.n, np.asarray(fp.flat0).dtype)
+    vals, _, _, _ = ArnoldiEig(krylov_dim=80, restarts=5, which="LR")(op, 8)
+    v = np.asarray(vals)
+    cand = v[v.imag > 1e-8]
+    if len(cand) == 0:
+        raise RuntimeError("no complex pair found; pass omega explicitly")
+    for w_ex in exclude:
+        cand = cand[np.abs(cand.imag - w_ex) > 1e-6]
+    return float(cand[np.argmin(np.abs(cand.real))].imag)
+
+
+def _mf_hopf_pair(fp, Jd, Jtd, gm2, omega, seed=None):
+    """(q1, p1, w): unit right vector + <p1,q1>-normalized left vector of
+    the eigenvalue nearest i*omega, by complex bordered inverse iteration."""
+    from ..normal_forms.codim1 import hopf_null_basis_iter
+
+    n = fp.n
+    dt = np.asarray(fp.flat0).dtype
+    rng = np.random.default_rng(41)
+    if seed is None:
+        sr = rng.standard_normal(n)
+        si = rng.standard_normal(n)
+    else:
+        sc = np.asarray(seed)
+        sr, si = np.real(sc), np.imag(sc)
+        if not np.any(si):
+            si = rng.standard_normal(n)
+    zr, zi, wr, wi, _, om = hopf_null_basis_iter(
+        Jd, Jtd, omega, jnp.asarray(np.asarray(sr, dt)),
+        jnp.asarray(np.asarray(si, dt)), gm2)
+    q1 = np.asarray(zr) + 1j * np.asarray(zi)
+    p1c = np.asarray(wr) + 1j * np.asarray(wi)
+    p1 = p1c / np.conj(_dot(p1c, q1))
+    return q1, p1, float(om)
+
+
+def _make_solveC(Jd, gm2n, n):
+    """Host-complex wrapper of the real-embedded shifted solve
+    (sigma I - J)^{-1} b (sigma = 0 gives -J^{-1} b)."""
+    import jax
+
+    from .minaug_mf import solve_shifted_cplx
+
+    @jax.jit
+    def _k(sr, si, br_, bi_):
+        xr, xi, _ = solve_shifted_cplx(Jd, sr, si, br_, bi_, gm2n)
+        return xr, xi
+
+    def solveC(sig, b):
+        b = np.asarray(b, _C)
+        sig = complex(sig)
+        xr, xi = _k(jnp.asarray(sig.real), jnp.asarray(sig.imag),
+                    jnp.asarray(b.real), jnp.asarray(b.imag))
+        return np.asarray(xr) + 1j * np.asarray(xi)
+
+    return solveC
+
+
+def _zh_basis_mf(fp, prob, params, precond=None, gmres_opts=None,
+                 omega=None, seed=None):
+    """Matrix-free ZH basis + solver closures: (q0, p0) by bordered
+    inverse iteration, (q1, p1) by the complex bordered iteration,
+    Ainv0/Ainv1 through the extended operators, solveC the shifted solve
+    (ref the reference computing the same objects through its solver
+    abstraction, src/codim2/NormalForms.jl:959-1205)."""
+    import jax
+
+    from ..normal_forms.codim1 import null_basis_iter
+    from .minaug_mf import solve_bordered_ext, solve_bordered_ext_cplx
+
+    n = fp.n
+    dt = np.asarray(fp.flat0).dtype
+    Jd, Jtd, gm1, gm2, gm2n = _mf_solver_set(fp, prob, params, precond,
+                                             gmres_opts)
+    if omega is None:
+        omega = _estimate_hopf_omega(fp, Jd)
+    rng = np.random.default_rng(43)
+    q0j, p0j = null_basis_iter(Jd, Jtd,
+                               jnp.asarray(np.asarray(
+                                   rng.standard_normal(n), dt)), gm1)
+    q0 = np.asarray(q0j)
+    p0 = np.asarray(p0j)
     p0 = p0 / np.dot(p0, q0)
-    iT = int(np.argmin(np.abs(valsT_np - np.conj(lamH))))
-    p1 = np.asarray(vecsT)[:, iT]
-    p1 = p1 / np.conj(_dot(p1, q1))
+    q1, p1, w = _mf_hopf_pair(fp, Jd, Jtd, gm2, omega, seed=seed)
+
+    p0dev = jnp.asarray(p0)
+    q1r, q1i = jnp.asarray(q1.real), jnp.asarray(q1.imag)
+    p1r, p1i = jnp.asarray(p1.real), jnp.asarray(p1.imag)
+    wj = jnp.asarray(w)
+
+    @jax.jit
+    def _ainv0(dx):
+        v, _, _ = solve_bordered_ext(Jd, q0j, p0dev, gm1, rhs_top=dx,
+                                     rhs_bot=0.0)
+        return v
+
+    def Ainv0(dx):
+        return np.asarray(_ainv0(jnp.asarray(np.real(np.asarray(dx)))))
+
+    @jax.jit
+    def _ainv1(tr, ti):
+        vr, vi, _, _, _ = solve_bordered_ext_cplx(
+            Jd, -wj, q1r, q1i, p1r, p1i, gm2, rhs_top=(tr, ti))
+        return vr, vi
+
+    def Ainv1(dx):
+        dx = np.asarray(dx, _C)
+        vr, vi = _ainv1(jnp.asarray(dx.real), jnp.asarray(dx.imag))
+        return np.asarray(vr) + 1j * np.asarray(vi)
+
+    solveC = _make_solveC(Jd, gm2n, n)
+    return q0, p0, q1, p1, w, Ainv0, Ainv1, solveC
+
+
+def zh_unfolding(prob, x0_tree, params, lens1, lens2,
+                 matrix_free: bool = False, precond=None, gmres_opts=None,
+                 omega=None, seed=None):
+    """Detailed ZH normal form (ref src/codim2/NormalForms.jl:1100-1205):
+    REF1 (8.2)-(8.6) second/third-order terms + REF2 (24)-(25) unfolding.
+
+    `matrix_free=True`: (q0, p0) by bordered inverse iteration, (q1, p1)
+    by the complex bordered iteration, and every projection solve through
+    the preconditioned extended/shifted operators — the PDE-scale route
+    (pass `omega` to target the Hopf pair; else a warm Arnoldi finds it)."""
+    fp = _FlatProblem(prob, x0_tree, params)
+    n = fp.n
+    if matrix_free:
+        L = None
+        (q0, p0, q1, p1, w, Ainv0, Ainv1, solveC) = _zh_basis_mf(
+            fp, prob, params, precond=precond, gmres_opts=gmres_opts,
+            omega=omega, seed=seed)
+        cq1 = np.conj(q1)
+    else:
+        L = np.asarray(fp.jacobian(), dtype=np.float64)
+        vals, vecs = dense_eig(jnp.asarray(L).astype(jnp.complex128))
+        vals_np = np.asarray(vals)
+        izero = int(np.argmin(np.abs(vals_np)))
+        cand = np.where(vals_np.imag > 1e-8)[0]
+        ih = cand[int(np.argmin(np.abs(vals_np[cand].real)))]
+        lamH = vals_np[ih]
+        w = float(lamH.imag)
+        q0 = np.real(np.asarray(vecs)[:, izero])
+        q0 = q0 / np.linalg.norm(q0)
+        q1 = np.asarray(vecs)[:, ih]
+        q1 = q1 / np.linalg.norm(q1)
+        cq1 = np.conj(q1)
+        valsT, vecsT = dense_eig(jnp.asarray(L.T).astype(jnp.complex128))
+        valsT_np = np.asarray(valsT)
+        p0 = np.real(np.asarray(vecsT)[:,
+                                       int(np.argmin(np.abs(valsT_np)))])
+        p0 = p0 / np.dot(p0, q0)
+        iT = int(np.argmin(np.abs(valsT_np - np.conj(lamH))))
+        p1 = np.asarray(vecsT)[:, iT]
+        p1 = p1 / np.conj(_dot(p1, q1))
+
+        eye = np.eye(n)
+        _slv = np.linalg.solve
+
+        def Ainv0(dx):
+            return _bord_solve(L, q0, p0, dx)
+
+        def Ainv1(dx):
+            return _bord_solve(L, q1, p1, dx, shift=-1j * w)
+
+        def solveC(sig, b):
+            return _slv(sig * eye - L.astype(_C), np.asarray(b, _C))
 
     B = lambda a, b: np.asarray(fp.d2F(jnp.asarray(a), jnp.asarray(b)))
     C = lambda a, b, c: np.asarray(fp.d3F(jnp.asarray(a), jnp.asarray(b),
                                           jnp.asarray(c)))
-    eye = np.eye(n)
-    solve = np.linalg.solve
-
-    def Ainv0(dx):
-        return _bord_solve(L, q0, p0, dx)
-
-    def Ainv1(dx):
-        return _bord_solve(L, q1, p1, dx, shift=-1j * w)
 
     # REF1 (8.2)
     G200 = float(np.real(_dot(p0, B(q0, q0))))
@@ -343,7 +507,7 @@ def zh_unfolding(prob, x0_tree, params, lens1, lens2):
 
     # REF1 (8.3)-(8.6)
     h200 = Ainv0(-B(q0, q0) + G200 * q0)
-    h020 = solve(2j * w * eye - L, B(q1, q1).astype(_C))
+    h020 = solveC(2j * w, B(q1, q1))
     h110 = -Ainv1(B(q0, q1) - G110 * q1)
     h011 = -Ainv0(B(q1, cq1) - G011 * q0)
 
@@ -429,48 +593,73 @@ def predictor_ns_zh(nf: dict, eps: float):
 # ---------------------------------------------------------------------------
 
 
-def hh_unfolding(prob, x0_tree, params, lens1, lens2):
+def hh_unfolding(prob, x0_tree, params, lens1, lens2,
+                 matrix_free: bool = False, precond=None, gmres_opts=None,
+                 omegas=None, seeds=None):
     """Detailed HH normal form (ref src/codim2/NormalForms.jl:1459-1533):
-    REF1 (9.2)-(9.6) + REF2 (26)/(22)/(28)."""
+    REF1 (9.2)-(9.6) + REF2 (26)/(22)/(28).
+
+    `matrix_free=True`: both (q_k, p_k) pairs by complex bordered
+    iteration (pass `omegas=(w1, w2)` to target them; else warm Arnoldi)
+    and all six projection solves through the real-embedded shifted
+    operator — nothing materializes the jacobian."""
     fp = _FlatProblem(prob, x0_tree, params)
-    L = np.asarray(fp.jacobian(), dtype=np.float64)
     n = fp.n
-    vals, vecs = dense_eig(jnp.asarray(L).astype(jnp.complex128))
-    vals_np = np.asarray(vals)
-    cand = np.where(vals_np.imag > 1e-8)[0]
-    order = cand[np.argsort(np.abs(vals_np[cand].real))[:2]]
-    pair = vals_np[order]
-    srt = np.argsort(pair.imag)
-    lam1, lam2 = pair[srt[0]], pair[srt[1]]
-    i1, i2 = order[srt[0]], order[srt[1]]
-    w1, w2 = float(lam1.imag), float(lam2.imag)
-    q1 = np.asarray(vecs)[:, i1]
-    q1 = q1 / np.linalg.norm(q1)
-    q2 = np.asarray(vecs)[:, i2]
-    q2 = q2 / np.linalg.norm(q2)
-    cq1, cq2 = np.conj(q1), np.conj(q2)
-    valsT, vecsT = dense_eig(jnp.asarray(L.T).astype(jnp.complex128))
-    valsT_np = np.asarray(valsT)
-    p1 = np.asarray(vecsT)[:, int(np.argmin(np.abs(valsT_np
-                                                   - np.conj(lam1))))]
-    p1 = p1 / np.conj(_dot(p1, q1))
-    p2 = np.asarray(vecsT)[:, int(np.argmin(np.abs(valsT_np
-                                                   - np.conj(lam2))))]
-    p2 = p2 / np.conj(_dot(p2, q2))
+    if matrix_free:
+        Jd, Jtd, gm1, gm2, gm2n = _mf_solver_set(fp, prob, params,
+                                                 precond, gmres_opts)
+        if omegas is None:
+            wa = _estimate_hopf_omega(fp, Jd)
+            wb = _estimate_hopf_omega(fp, Jd, exclude=(wa,))
+            omegas = (wa, wb)
+        omegas = tuple(sorted(abs(float(w)) for w in omegas))
+        s1_, s2_ = (seeds if seeds is not None else (None, None))
+        q1, p1, w1 = _mf_hopf_pair(fp, Jd, Jtd, gm2, omegas[0], seed=s1_)
+        q2, p2, w2 = _mf_hopf_pair(fp, Jd, Jtd, gm2, omegas[1], seed=s2_)
+        cq1, cq2 = np.conj(q1), np.conj(q2)
+        solveC = _make_solveC(Jd, gm2n, n)
+    else:
+        L = np.asarray(fp.jacobian(), dtype=np.float64)
+        vals, vecs = dense_eig(jnp.asarray(L).astype(jnp.complex128))
+        vals_np = np.asarray(vals)
+        cand = np.where(vals_np.imag > 1e-8)[0]
+        order = cand[np.argsort(np.abs(vals_np[cand].real))[:2]]
+        pair = vals_np[order]
+        srt = np.argsort(pair.imag)
+        lam1, lam2 = pair[srt[0]], pair[srt[1]]
+        i1, i2 = order[srt[0]], order[srt[1]]
+        w1, w2 = float(lam1.imag), float(lam2.imag)
+        q1 = np.asarray(vecs)[:, i1]
+        q1 = q1 / np.linalg.norm(q1)
+        q2 = np.asarray(vecs)[:, i2]
+        q2 = q2 / np.linalg.norm(q2)
+        cq1, cq2 = np.conj(q1), np.conj(q2)
+        valsT, vecsT = dense_eig(jnp.asarray(L.T).astype(jnp.complex128))
+        valsT_np = np.asarray(valsT)
+        p1 = np.asarray(vecsT)[:, int(np.argmin(np.abs(valsT_np
+                                                       - np.conj(lam1))))]
+        p1 = p1 / np.conj(_dot(p1, q1))
+        p2 = np.asarray(vecsT)[:, int(np.argmin(np.abs(valsT_np
+                                                       - np.conj(lam2))))]
+        p2 = p2 / np.conj(_dot(p2, q2))
+
+        eye = np.eye(n)
+        _slv = np.linalg.solve
+
+        def solveC(sig, b):
+            return _slv(sig * eye - L.astype(_C), np.asarray(b, _C))
 
     B = lambda a, b: np.asarray(fp.d2F(jnp.asarray(a), jnp.asarray(b)))
     C = lambda a, b, c: np.asarray(fp.d3F(jnp.asarray(a), jnp.asarray(b),
                                           jnp.asarray(c)))
-    eye = np.eye(n)
-    solve = np.linalg.solve
 
     # REF1 (9.2)-(9.6)
-    h2000 = solve(2j * w1 * eye - L, B(q1, q1).astype(_C))
-    h0020 = solve(2j * w2 * eye - L, B(q2, q2).astype(_C))
-    h1010 = solve(1j * (w1 + w2) * eye - L, B(q1, q2).astype(_C))
-    h1001 = solve(1j * (w1 - w2) * eye - L, B(q1, cq2).astype(_C))
-    h1100 = -solve(L, B(q1, cq1).astype(_C)).real
-    h0011 = -solve(L, B(q2, cq2).astype(_C)).real
+    h2000 = solveC(2j * w1, B(q1, q1))
+    h0020 = solveC(2j * w2, B(q2, q2))
+    h1010 = solveC(1j * (w1 + w2), B(q1, q2))
+    h1001 = solveC(1j * (w1 - w2), B(q1, cq2))
+    h1100 = solveC(0.0, B(q1, cq1)).real
+    h0011 = solveC(0.0, B(q2, cq2)).real
 
     G2100 = _dot(p1, C(q1, q1, cq1) + B(h2000, cq1) + 2.0 * B(h1100, q1))
     G0021 = _dot(p2, C(q2, q2, cq2) + B(h0020, cq2) + 2.0 * B(h0011, q2))
@@ -482,8 +671,8 @@ def hh_unfolding(prob, x0_tree, params, lens1, lens2):
     # REF2 (26)
     pj1 = _ParamJet(prob, x0_tree, params, lens1)
     pj2 = _ParamJet(prob, x0_tree, params, lens2)
-    h000010 = -solve(L, pj1.J1())
-    h000001 = -solve(L, pj2.J1())
+    h000010 = solveC(0.0, pj1.J1()).real
+    h000001 = solveC(0.0, pj2.J1()).real
     g110 = _dot(p1, B(q1, h000010) + pj1.A1(q1))
     g210 = _dot(p2, B(q2, h000010) + pj1.A1(q2))
     g101 = _dot(p1, B(q1, h000001) + pj2.A1(q1))

@@ -713,3 +713,66 @@ def test_bt_nf_mf_pde_scale():
     pt2 = get_normal_form_codim2(brf, ibt)       # auto matrix-free
     assert pt2.nf["a"] * pt2.nf["b"] < 0
     assert abs(abs(pt2.nf["a"]) - scale) < 0.1 * scale
+
+
+def test_zh_hh_unfolding_mf_parity():
+    """Matrix-free ZH and HH detailed unfoldings == dense path on the
+    constructed normal forms (completes the bordered/iterative codim-2
+    NF family: BT round 5 above, ZH/HH here; ref the reference computing
+    them through the solver abstraction, src/codim2/NormalForms.jl:
+    959-1533)."""
+    from bifurcationkit.jl_tpu.codim2.unfolding import (hh_unfolding,
+                                                        zh_unfolding)
+    from bifurcationkit.jl_tpu.core.lens import as_lens
+
+    # ZH: x' = a x^2 + b|z|^2 + p + 0.2 q x, z' = i w z + c x z + q(0.3+z)
+    a, b, c, w = 0.7, -1.3, 0.4 + 0.2j, 1.9
+
+    def Fzh(u, par):
+        x = u[0]
+        zz = u[1] * u[1] + u[2] * u[2]
+        z = u[1] + 1j * u[2]
+        dx = a * x * x + b * zz + par["p"] + 0.2 * par["q"] * x
+        dz = 1j * w * z + c * x * z + par["q"] * (0.3 + z)
+        return jnp.array([dx, jnp.real(dz), jnp.imag(dz)])
+
+    prob = bk.BifurcationProblem(Fzh, u0=jnp.zeros(3),
+                                 params={"p": 0.0, "q": 0.0}, lens="p")
+    nf_d = zh_unfolding(prob, jnp.zeros(3), prob.params, as_lens("p"),
+                        as_lens("q"))
+    nf_m = zh_unfolding(prob, jnp.zeros(3), prob.params, as_lens("p"),
+                        as_lens("q"), matrix_free=True, omega=w)
+    sgn = 1.0 if np.dot(nf_d["q0"], nf_m["q0"]) > 0 else -1.0
+    assert abs(nf_m["G200"] - 2 * a) < 1e-8          # sign-invariant here
+    assert abs(nf_m["G011"] - 2 * b) < 1e-8
+    assert abs(sgn * nf_m["G110"] - c) < 1e-8
+    assert abs(nf_d["beta1"] - nf_m["beta1"]) < 1e-8
+
+    # HH: the two-frequency constructed model (same as the dense invariant
+    # test) — all four cubic G's and both NS-unfolding alphas must match
+    w1, w2 = 0.9, 1.7
+
+    def Fhh(u, par):
+        z1 = u[0] + 1j * u[1]
+        z2 = u[2] + 1j * u[3]
+        ua1 = u[0] ** 2 + u[1] ** 2
+        ua2 = u[2] ** 2 + u[3] ** 2
+        t1 = ((par["b1"] + 1j * w1) * z1 - 0.5 * z1 * ua1 - 1.0 * z1 * ua2
+              + 0.3 * z1 * z2 + 0.1 * z2 * jnp.conj(z1))
+        t2 = ((par["b2"] + 0.4 * par["b1"] + 1j * w2) * z2 - 2.0 * z2 * ua1
+              - 1.5 * z2 * ua2 + 0.2 * z1 * z1 + 0.15 * z1 * jnp.conj(z2))
+        return jnp.array([jnp.real(t1), jnp.imag(t1),
+                          jnp.real(t2), jnp.imag(t2)])
+
+    prob2 = bk.BifurcationProblem(Fhh, u0=jnp.zeros(4),
+                                  params={"b1": 0.0, "b2": 0.0}, lens="b1")
+    nf_d2 = hh_unfolding(prob2, jnp.zeros(4), prob2.params, as_lens("b1"),
+                         as_lens("b2"))
+    nf_m2 = hh_unfolding(prob2, jnp.zeros(4), prob2.params, as_lens("b1"),
+                         as_lens("b2"), matrix_free=True, omegas=(w1, w2))
+    for k in ("G2100", "G0021", "G1110", "G1011"):
+        assert abs(nf_d2[k] - nf_m2[k]) < 1e-8, (k, nf_d2[k], nf_m2[k])
+    for fam in ("ns1", "ns2"):
+        np.testing.assert_allclose(nf_m2[fam]["alpha"],
+                                   nf_d2[fam]["alpha"], atol=1e-8)
+        assert abs(nf_d2[fam]["dw1"] - nf_m2[fam]["dw1"]) < 1e-8
