@@ -1035,6 +1035,78 @@ def _iter_spectrum_at(maprob, X, par, nev: int = 10, with_vectors=True):
         bool(cv)
 
 
+def _bt_to_hopf_probe_mf(maprob, sp, contparams, lens2, nev: int = 10,
+                         **kwargs):
+    """bt -> hopf from an MF fold curve: the Hopf curve leaves the BT
+    tangentially to the fold curve and the near-zero eigenvalue pair only
+    complexifies on ONE side, so probe (p1, p2) around the point,
+    reconverge the equilibrium with the (iterative) inner Newton, and test
+    the INNER spectrum through the operator path — the matrix-free twin of
+    the dense two-sided probe (minaug.py switch_codim2; ref the BT aBS of
+    the codim-2 dispatch, src/codim2/codim2.jl:455-560)."""
+    from types import SimpleNamespace
+
+    from ..detection.points import SpecialPoint
+    from ..newton import newton
+
+    inner = maprob.inner_prob
+    n = maprob.n_inner
+    X = np.asarray(sp.x)
+    x_in = maprob.unravel_inner(jnp.asarray(X[:n]))
+    p1 = float(X[n])
+    p2 = float(sp.param)
+    scale = max(abs(p2), abs(p1), 1e-2)
+    last_err = None
+    dirs = [(1, 0), (-1, 0), (0, 1), (0, -1),
+            (1, 1), (-1, -1), (1, -1), (-1, 1)]
+    for frac in (1e-2, 5e-2, 2e-1):
+        for d1, d2 in dirs:
+            p1_try = p1 + d1 * frac * scale
+            p2_try = p2 + d2 * frac * scale
+            par_try = maprob.lens.set(dict(maprob.params), p2_try)
+            par_in = maprob.inner_lens.set(par_try["_inner"], p1_try)
+            sol = newton(inner.re_make(u0=x_in, params=par_in),
+                         contparams.newton_options)
+            if not bool(sol.converged):
+                continue
+            # iterative spectrum at the reconverged probe point: the MA
+            # problem's own FlatOperator with p1 read from the extended
+            # state — nothing materializes
+            x_flat = ravel(sol.u)[0]
+            X_try = jnp.concatenate(
+                [x_flat, jnp.asarray(p1_try, x_flat.dtype)[None]])
+            vals, vecs, _cv = _iter_spectrum_at(maprob, X_try, par_try,
+                                                nev=nev)
+            cand = np.where(vals.imag > 1e-8)[0]
+            if len(cand) == 0:
+                continue
+            i0 = cand[np.argmin(np.abs(vals.real[cand]))]
+            lam = vals[i0]
+            if abs(lam.real) > 0.5 * abs(lam.imag):
+                continue     # pair complexified but not near a Hopf yet
+            prob_t = inner.re_make(u0=sol.u, params=par_in)
+            pt = SpecialPoint(type="hopf", param=p1_try, x=sol.u,
+                              eigenvals=vals, eigenvecs=vecs,
+                              ind_ev=int(i0) + 1)
+            shim = SimpleNamespace(prob=prob_t, specialpoint=[pt])
+            try:
+                out = continuation_hopf_mf(shim, 0, lens2, contparams,
+                                           **kwargs)
+            except RuntimeError as err:
+                last_err = err
+                continue
+            # reject a collapse onto the omega = 0 family (which IS the
+            # fold curve we came from)
+            om = np.asarray(out.gamma._table()["omega"])
+            if np.max(np.abs(om)) < 1e-6:
+                last_err = RuntimeError("collapsed onto omega = 0")
+                continue
+            return out
+    raise RuntimeError(f"bt -> hopf probing failed around "
+                       f"(p1, p2) = ({p1}, {p2})"
+                       + (f" (last: {last_err})" if last_err else ""))
+
+
 def switch_codim2_mf(br_c2, ind: int, contparams: ContinuationPar,
                      to: Optional[str] = None, nev: int = 10,
                      **kwargs) -> Branch:
@@ -1047,6 +1119,8 @@ def switch_codim2_mf(br_c2, ind: int, contparams: ContinuationPar,
       zh on an MF fold curve -> the MF Hopf curve through the same point
       zh/bt on an MF Hopf curve -> the MF fold curve through the point
       hh on an MF Hopf curve -> the OTHER MF Hopf curve (second frequency)
+      bt on an MF fold curve -> the MF Hopf curve, by the two-sided probe
+      (_bt_to_hopf_probe_mf: the pair only complexifies on one side)
 
     Both curves pass through the point, so the new MA problem starts
     exactly there; the target eigenpair comes from the point's SAVED
@@ -1078,10 +1152,8 @@ def switch_codim2_mf(br_c2, ind: int, contparams: ContinuationPar,
         raise ValueError(f"no switch target for a {sp.type!r} point on a "
                          f"{maprob.ma_kind} curve")
     if to == "hopf" and sp.type == "bt":
-        raise NotImplementedError(
-            "bt -> hopf switching from an MF fold curve needs the "
-            "two-sided probe of the dense path; start the Hopf curve from "
-            "a nearby Hopf point on a one-parameter branch instead")
+        return _bt_to_hopf_probe_mf(maprob, sp, contparams,
+                                    maprob.outer_lens, nev=nev, **kwargs)
 
     # inner problem anchored at the point (p2 frozen into params); same
     # state shape -> re_make carries the capability hooks (spectral_precond)

@@ -107,6 +107,25 @@ def test_fold_mf_bt_detection():
     assert bts, "no BT detected along the MF fold curve"
     assert abs(bts[0].param) < 5e-2
 
+    # bt -> hopf switching from the MF fold curve (the last MF switch
+    # direction; ref the jacobian_ma-generic codim-2 dispatch,
+    # src/codim2/codim2.jl:455-560).  The BT model's Hopf curve is EXACT:
+    # b1 = 0, b2 < 0, omega = sqrt(-b2) (equilibrium x = 0, trace = 0).
+    from bifurcationkit.jl_tpu.codim2 import switch_codim2
+
+    idxbt = brf.gamma.specialpoint.index(bts[0])
+    brh = switch_codim2(brf, idxbt,
+                        cp2.replace(ds=-0.02, dsmax=0.05, max_steps=25),
+                        detect_codim2_bifurcation=0)
+    assert getattr(brh.gamma.prob, "ma_mf", False)
+    th = brh.gamma._table()
+    assert len(th["param"]) >= 10
+    b2s = np.asarray(th["param"])
+    assert np.min(b2s) < -0.3                       # left the BT
+    np.testing.assert_allclose(np.asarray(th["p1"]), 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(th["omega"]) ** 2, -b2s,
+                               atol=1e-7)
+
 
 @pytest.fixture(scope="module")
 def sh2d_fold_branch():
