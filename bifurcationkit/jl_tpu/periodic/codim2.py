@@ -814,13 +814,18 @@ def pd_branch_switch(br_po, ind_pd, contparams, ampfactor: float = 0.1,
     n = po_prob.n_vf
     if not isinstance(disc, Collocation):
         from .shooting import Shooting
+        from .trapezoid import Trapeze
 
         if isinstance(disc, Shooting):
             return _pd_branch_switch_shooting(
                 br_po, ind_pd, contparams, ampfactor=ampfactor,
                 delta_p=delta_p, alg=alg, **kwargs)
+        if isinstance(disc, Trapeze):
+            return _pd_branch_switch_trapeze(
+                br_po, ind_pd, contparams, ampfactor=ampfactor,
+                delta_p=delta_p, alg=alg, **kwargs)
         raise NotImplementedError("PD branch switching requires "
-                                  "Collocation or Shooting")
+                                  "Collocation, Trapeze or Shooting")
     X = jnp.asarray(sp.x)
     p1 = sp.param + delta_p
     nodes, T = disc.split(X, n)
@@ -863,6 +868,75 @@ def pd_branch_switch(br_po, ind_pd, contparams, ampfactor: float = 0.1,
     disc2 = Collocation(Ntst=2 * disc.Ntst, m=disc.m)
     X2 = disc2.pack(jnp.asarray(doubled), 2 * T)
 
+    params_new = prob_vf.set_lens_param(prob_vf.params, float(p1))
+    return continuation_po(prob_vf, disc2, X2, contparams,
+                           alg=alg, params=params_new, **kwargs)
+
+
+def _pd_branch_switch_trapeze(br_po, ind_pd, contparams,
+                              ampfactor: float = 0.1, delta_p=None,
+                              alg=None, **kwargs) -> Branch:
+    """PD branch switching for the TRAPEZE discretization (the PDE-scale
+    PO path): double-period guess with 2M-1 slices — the orbit traversed
+    twice, perturbed by +/- the antiperiodic Floquet mode propagated to
+    each slice through the per-slice trapezoid maps
+    (I - T h/2 J_{i+1})^{-1} (I + T h/2 J_i)
+    (ref PO->PO branching, PeriodicOrbits.jl:626-709 — discretization-
+    generic there, covering PeriodicOrbitTrapProblem)."""
+    from .orbits import continuation_po
+    from .trapezoid import Trapeze
+
+    if delta_p is None:
+        delta_p = contparams.ds
+    gamma = br_po.gamma if isinstance(br_po, Branch) else br_po
+    sp = gamma.specialpoint[ind_pd]
+    po_prob = gamma.prob
+    disc = po_prob.disc
+    prob_vf = po_prob.prob_vf
+    n = po_prob.n_vf
+    X = jnp.asarray(sp.x)
+    u, T = disc.split(X, n)                      # (M, n), scalar
+    par = po_prob.set_lens_param(po_prob.params, sp.param)
+
+    Mn = disc.monodromy(prob_vf, X, par)
+    mult, vecs = dense_eig(Mn)
+    i0 = int(np.argmin(np.abs(np.asarray(mult) + 1.0)))
+    phi0 = np.array(np.real(np.asarray(vecs)[:, i0]))
+    phi0 /= np.linalg.norm(phi0)
+
+    # time-dependent antiperiodic mode phi(t_{i+1}) = S_i phi(t_i) with the
+    # per-slice trapezoid step maps (a time-constant perturbation is mostly
+    # orthogonal to the emerging period-2 branch)
+    params = par["_inner"]
+    Js = np.asarray(jax.vmap(
+        lambda x: prob_vf.jacobian(x, params))(u))   # (M, n, n)
+    h = np.asarray(disc.steps())
+    Tf = float(T)
+    eye = np.eye(n)
+    phis = [phi0]
+    for i in range(disc.M - 1):
+        A = eye + (Tf * h[i] / 2.0) * Js[i]
+        B = eye - (Tf * h[i] / 2.0) * Js[i + 1]
+        phis.append(np.linalg.solve(B, A @ phis[-1]))
+    phis = np.stack(phis)                        # (M, n); phis[-1] ~ -phi0
+    phis /= max(np.abs(phis).max(), 1e-300)
+
+    # doubled loop: slice M-1 duplicates slice 0 (periodicity row), so the
+    # 2T orbit has 2M-1 slices; the antiperiodic sign flip closes it
+    u_np = np.asarray(u)
+    scale = ampfactor * float(np.linalg.norm(u_np[0]) + 1.0)
+    first = u_np[:-1] + scale * phis[:-1]
+    second = u_np[:-1] - scale * phis[:-1]
+    doubled = np.concatenate(
+        [first, second, u_np[:1] + scale * phis[:1]], axis=0)
+    if disc.time_mesh is not None:
+        disc2 = Trapeze(M=2 * disc.M - 1,
+                        time_mesh=np.concatenate([h, h]) / 2.0)
+    else:
+        disc2 = Trapeze(M=2 * disc.M - 1)
+    X2 = disc2.pack(jnp.asarray(doubled), 2 * T)
+
+    p1 = sp.param + delta_p
     params_new = prob_vf.set_lens_param(prob_vf.params, float(p1))
     return continuation_po(prob_vf, disc2, X2, contparams,
                            alg=alg, params=params_new, **kwargs)

@@ -278,3 +278,53 @@ def test_pd_branch_switching_shooting(lure_po_branch):
     tab = br2.gamma._table()
     assert len(tab["param"]) >= 3
     assert tab["period"][0] == pytest.approx(2 * float(T1), rel=0.05)
+
+
+def test_pd_branch_switching_trapeze(lure_po_branch):
+    """PD aBS for TRAPEZE (the PDE-scale PO path): reconverge the
+    collocation PD orbit on the trapezoid mesh, re-detect the PD on a tiny
+    trapeze branch, and switch to the double-period branch through the
+    trapeze doubled-guess construction (2M-1 slices, antiperiodic mode
+    propagated by the per-slice trapezoid maps)."""
+    from bifurcationkit.jl_tpu.periodic.orbits import (continuation_po,
+                                                       newton_po)
+
+    prob, br, br_po = lure_po_branch
+    pds = br_po.gamma.get_special_points("pd")
+    sp = pds[0]
+    po_coll = br_po.gamma.prob
+    disc_c = po_coll.disc
+    n = po_coll.n_vf
+    nodes, T1 = disc_c.split(jnp.asarray(np.asarray(sp.x)), n)
+
+    # collocation local nodes sit at uniform fractions of a uniform mesh:
+    # they ARE a trapezoid grid with M = Ntst*m + 1 slices
+    disc_t = bk.Trapeze(M=nodes.shape[0])
+    X0 = disc_t.pack(jnp.asarray(nodes), float(T1))
+    params_pd = prob.set_lens_param(prob.params, float(sp.param))
+    sol, po_tr = newton_po(prob, disc_t, X0, params=params_pd,
+                           options=bk.NewtonPar(tol=1e-9,
+                                                max_iterations=30))
+    assert bool(sol.converged)
+
+    cp_tr = bk.ContinuationPar(ds=-0.004, dsmax=0.006, dsmin=1e-8,
+                               p_min=0.2, p_max=1.05, max_steps=6,
+                               detect_bifurcation=3, nev=3, n_inversion=4,
+                               tol_stability=1e-3,
+                               newton_options=bk.NewtonPar(
+                                   tol=1e-8, max_iterations=30))
+    br_tr = continuation_po(prob, disc_t, sol.u, cp_tr, params=params_pd)
+    pds_tr = br_tr.gamma.get_special_points("pd")
+    assert pds_tr, "trapeze branch did not re-detect the PD"
+    idx = br_tr.gamma.specialpoint.index(pds_tr[0])
+
+    cp2 = bk.ContinuationPar(ds=-0.01, dsmax=0.02, dsmin=1e-7, p_min=0.2,
+                             p_max=1.05, max_steps=4, detect_bifurcation=0,
+                             newton_options=bk.NewtonPar(
+                                 tol=1e-7, max_iterations=40,
+                                 linesearch=True))
+    br2 = bk.pd_branch_switch(br_tr, idx, cp2, ampfactor=0.05,
+                              delta_p=-0.005)
+    tab = br2.gamma._table()
+    assert len(tab["param"]) >= 3
+    assert tab["period"][0] == pytest.approx(2 * float(T1), rel=0.05)
