@@ -1055,6 +1055,28 @@ def _bt_to_hopf_probe_mf(maprob, sp, contparams, lens2, nev: int = 10,
     x_in = maprob.unravel_inner(jnp.asarray(X[:n]))
     p1 = float(X[n])
     p2 = float(sp.param)
+
+    # 2-dim Jordan-subspace basis at the BT: against a stiff PDE spectrum
+    # the near-zero pair is INVISIBLE to plain Krylov (it hides under the
+    # dominant modes), but it lives in span(q0, q1) of the BT Jordan chain
+    # — the bordered solves of the MF BT normal form deliver exactly that
+    # basis, and a 2x2 oblique projection <p_i, J q_j> tracks how the
+    # double eigenvalue splits at each probe point (O(eps^2)-accurate)
+    basis = None
+    try:
+        from .normal_forms import bt_normal_form
+
+        par_bt = maprob.lens.set(dict(maprob.params), p2)
+        par_bt_in = maprob.inner_lens.set(par_bt["_inner"], p1)
+        pt_bt = bt_normal_form(
+            inner, x_in, par_bt_in, matrix_free=True,
+            precond=getattr(inner, "spectral_precond", None))
+        q0b, q1b = (np.asarray(v) for v in pt_bt.zeta)
+        p0b, p1b = (np.asarray(v) for v in pt_bt.zeta_star)
+        basis = (q0b, q1b, p0b, p1b)
+    except Exception:
+        basis = None     # fall back to the Arnoldi scan per probe
+
     scale = max(abs(p2), abs(p1), 1e-2)
     last_err = None
     dirs = [(1, 0), (-1, 0), (0, 1), (0, -1),
@@ -1069,21 +1091,44 @@ def _bt_to_hopf_probe_mf(maprob, sp, contparams, lens2, nev: int = 10,
                          contparams.newton_options)
             if not bool(sol.converged):
                 continue
-            # iterative spectrum at the reconverged probe point: the MA
-            # problem's own FlatOperator with p1 read from the extended
-            # state — nothing materializes
             x_flat = ravel(sol.u)[0]
-            X_try = jnp.concatenate(
-                [x_flat, jnp.asarray(p1_try, x_flat.dtype)[None]])
-            vals, vecs, _cv = _iter_spectrum_at(maprob, X_try, par_try,
-                                                nev=nev)
-            cand = np.where(vals.imag > 1e-8)[0]
-            if len(cand) == 0:
-                continue
-            i0 = cand[np.argmin(np.abs(vals.real[cand]))]
-            lam = vals[i0]
-            if abs(lam.real) > 0.5 * abs(lam.imag):
-                continue     # pair complexified but not near a Hopf yet
+            if basis is not None:
+                q0b, q1b, p0b, p1b = basis
+                Jq0 = np.asarray(ravel(inner.dF(
+                    sol.u, par_in, maprob.unravel_inner(
+                        jnp.asarray(q0b, x_flat.dtype))))[0])
+                Jq1 = np.asarray(ravel(inner.dF(
+                    sol.u, par_in, maprob.unravel_inner(
+                        jnp.asarray(q1b, x_flat.dtype))))[0])
+                A2 = np.array([[p0b @ Jq0, p0b @ Jq1],
+                               [p1b @ Jq0, p1b @ Jq1]])
+                w2, v2 = np.linalg.eig(A2)
+                icx = np.where(w2.imag > 1e-10)[0]
+                if len(icx) == 0:
+                    continue
+                lam = w2[icx[0]]
+                if abs(lam.real) > 0.5 * abs(lam.imag):
+                    continue
+                c = v2[:, icx[0]]
+                zeta = c[0] * q0b + c[1] * q1b
+                zeta = zeta / np.linalg.norm(zeta)
+                vals = np.array([lam, np.conj(lam)])
+                vecs = np.stack([zeta, np.conj(zeta)], axis=1)
+                i0 = 0
+            else:
+                # ODE-scale fallback: iterative spectrum at the probe point
+                # through the MA problem's own FlatOperator
+                X_try = jnp.concatenate(
+                    [x_flat, jnp.asarray(p1_try, x_flat.dtype)[None]])
+                vals, vecs, _cv = _iter_spectrum_at(maprob, X_try, par_try,
+                                                    nev=nev)
+                cand = np.where(vals.imag > 1e-8)[0]
+                if len(cand) == 0:
+                    continue
+                i0 = cand[np.argmin(np.abs(vals.real[cand]))]
+                lam = vals[i0]
+                if abs(lam.real) > 0.5 * abs(lam.imag):
+                    continue     # complexified but not near a Hopf yet
             prob_t = inner.re_make(u0=sol.u, params=par_in)
             pt = SpecialPoint(type="hopf", param=p1_try, x=sol.u,
                               eigenvals=vals, eigenvecs=vecs,

@@ -733,6 +733,21 @@ def test_bt_nf_mf_pde_scale():
     assert pt2.nf["a"] * pt2.nf["b"] < 0
     assert abs(abs(pt2.nf["a"]) - scale) < 0.1 * scale
 
+    # bt -> hopf at PDE scale: the probe projects J onto the BT Jordan
+    # subspace (plain Krylov cannot see the near-zero pair against the
+    # stiff Laplacian spectrum); mode-0 Hopf curve is EXACT: b1 = 0,
+    # omega^2 = -b2
+    brh = bk.switch_codim2(brf, ibt,
+                           cp2.replace(ds=-0.05, dsmax=0.1, max_steps=6),
+                           detect_codim2_bifurcation=0)
+    assert getattr(brh.gamma.prob, "ma_mf", False)
+    th = brh.gamma._table()
+    b2s = np.asarray(th["param"])
+    assert len(b2s) >= 5 and np.min(b2s) < -0.2
+    np.testing.assert_allclose(np.asarray(th["p1"]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(th["omega"]) ** 2, -b2s,
+                               atol=1e-6)
+
 
 def test_zh_hh_unfolding_mf_parity():
     """Matrix-free ZH and HH detailed unfoldings == dense path on the
