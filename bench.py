@@ -877,4 +877,13 @@ if __name__ == "__main__":
                 print(json.dumps({"metric": "po-cgl-leg-failed",
                                   "error": str(err)[:200]}),
                       file=sys.stderr)
+            if os.environ.get("BENCH_SKIP_MA") != "1":
+                try:
+                    # the MF codim-2 pair (VERDICT r4 next #3) in the
+                    # driver-recorded artifact, not just PERF.md
+                    main_ma_mf()
+                except Exception as err:
+                    print(json.dumps({"metric": "ma-mf-leg-failed",
+                                      "error": str(err)[:200]}),
+                          file=sys.stderr)
         main_flagship()

@@ -190,11 +190,45 @@ def bt_predictors(bt: BogdanovTakens, ds: float):
     return {"fold": fold, "hopf": hopf}
 
 
-def cusp_normal_form(prob, x0, params, verbose: bool = False):
+def cusp_normal_form(prob, x0, params, verbose: bool = False,
+                     matrix_free: bool = False, precond=None,
+                     gmres_opts=None, seed=None):
     """Cubic coefficient at a cusp (ref :15-141): with q, p the null pair of
     J (b20 = 0 at the cusp), c = <p, C(q,q,q) + 3 B(q, h2)>/6 where
-    L h2 = -E(B(q,q))."""
+    L h2 = -E(B(q,q)).
+
+    `matrix_free=True`: the null pair by bordered inverse iteration and h2
+    through the preconditioned extended bordered operator — the PDE-scale
+    route for cusp points on MF fold curves."""
     fp = _FlatProblem(prob, x0, params)
+    n = fp.n
+    B = lambda u, v: fp.d2F(u, v)
+    C = lambda u, v, w: fp.d3F(u, v, w)
+    if matrix_free:
+        from ..codim2.unfolding import _mf_solver_set
+        from ..codim2.minaug_mf import solve_bordered_ext
+        from ..normal_forms.codim1 import null_basis_iter
+
+        Jd, Jtd, gm1, _, _ = _mf_solver_set(fp, prob, params, precond,
+                                            gmres_opts)
+        dt = np.asarray(fp.flat0).dtype
+        if seed is None:
+            seed = np.random.default_rng(31).standard_normal(n)
+        q, p = null_basis_iter(Jd, Jtd,
+                               jnp.asarray(np.asarray(seed, dt)), gm1)
+        q = q / jnp.linalg.norm(q)
+        p = p / jnp.dot(p, q)
+        Bqq = B(q, q)
+        b20 = float(jnp.dot(p, Bqq))
+        E = lambda x: x - jnp.dot(p, x) * q
+        h2, _, _ = solve_bordered_ext(Jd, p, q, gm1, rhs_top=E(-Bqq),
+                                      rhs_bot=0.0)
+        c = float(jnp.dot(p, C(q, q, q) + 3.0 * B(q, h2))) / 6.0
+        pt = Cusp(x0=fp.flat0, p=None, params=params, lens=prob.lens,
+                  zeta=q, zeta_star=p, nf={"c": c, "b20": b20}, prob=prob)
+        if verbose:
+            print(f"Cusp normal form (mf): c = {c:.6g} (b20 = {b20:.3g})")
+        return pt
     J = fp.jacobian()
     vals, vecs = dense_eig(J)
     i0 = int(np.argmin(np.abs(np.asarray(vals).real)))
@@ -205,9 +239,6 @@ def cusp_normal_form(prob, x0, params, verbose: bool = False):
     p = jnp.asarray(np.real(np.asarray(vecsT)[:, iT]))
     p = p / jnp.dot(p, q)
 
-    n = fp.n
-    B = lambda u, v: fp.d2F(u, v)
-    C = lambda u, v, w: fp.d3F(u, v, w)
     Bqq = B(q, q)
     b20 = float(jnp.dot(p, Bqq))
     # bordered solve for h2: [J p; q' 0][h2; s] = [E(-Bqq); 0]
@@ -285,12 +316,20 @@ def newton_bt(br_codim2, ind_bif: int, lens2=None, options=None,
     return sol
 
 
+def _curve_omega(X, n, maprob):
+    """Hopf frequency stored in the extended MA state (hopf curves only)."""
+    if getattr(maprob, "ma_kind", None) == "hopf" and X.shape[0] > n + 1:
+        return abs(float(X[n + 1]))
+    return None
+
+
 def get_normal_form_codim2(br_codim2, ind_bif: int, verbose: bool = False,
                            matrix_free=None, **nf_kwargs):
     """Normal form at a detected codim-2 special point on a fold/hopf MA
-    curve (bt/cusp/gh/zh/hh).  On a MATRIX-FREE MA curve the BT normal
-    form defaults to the bordered/iterative route (nothing materialized);
-    pass `matrix_free=False` to force the dense path."""
+    curve (bt/cusp/gh/zh/hh).  On a MATRIX-FREE MA curve the bt/cusp/gh/zh
+    normal forms all default to the bordered/iterative route (nothing
+    materialized; gh = the full MF Bautin l2 through shifted/bordered
+    extended solves); pass `matrix_free=False` to force the dense path."""
     gamma = getattr(br_codim2, "gamma", br_codim2)
     sp = gamma.specialpoint[ind_bif]
     maprob = gamma.prob
@@ -322,22 +361,45 @@ def get_normal_form_codim2(br_codim2, ind_bif: int, verbose: bool = False,
                             matrix_free=mf, **kw)
         pt.p = (p1, sp.param)
         return pt
+    mf = matrix_free
+    if mf is None:
+        mf = bool(getattr(maprob, "ma_mf", False))
+    mf_kw = {}
+    if mf:
+        mf_kw = dict(matrix_free=True,
+                     precond=getattr(maprob, "precond", None))
     if sp.type == "cusp":
-        pt = cusp_normal_form(inner, x, params, verbose=verbose)
+        kw = dict(nf_kwargs)
+        if mf and "_b" in gamma.prob.params:
+            # seed the null iteration with the curve's own anchor
+            kw.setdefault("seed", np.asarray(gamma.prob.params["_b"]))
+        pt = cusp_normal_form(inner, x, params, verbose=verbose,
+                              **mf_kw, **kw)
         pt.p = (p1, sp.param)
         return pt
     if sp.type == "gh":
         from ..normal_forms.bautin import bautin_normal_form
 
+        kw = dict(nf_kwargs)
+        if mf:
+            # target the curve's own Hopf frequency
+            om = _curve_omega(X, n, maprob)
+            if om is not None:
+                kw.setdefault("omega", om)
         pt = bautin_normal_form(inner, maprob.unravel_inner(X[:n]), params,
-                                verbose=verbose)
+                                verbose=verbose, **mf_kw, **kw)
         pt.p = (p1, sp.param)
         return pt
     if sp.type == "zh":
         from .zh_hh import zh_normal_form
 
+        kw = dict(nf_kwargs)
+        if mf:
+            om = _curve_omega(X, n, maprob)
+            if om is not None:
+                kw.setdefault("omega", om)
         pt = zh_normal_form(inner, maprob.unravel_inner(X[:n]), params,
-                            verbose=verbose)
+                            verbose=verbose, **mf_kw, **kw)
         pt.p = (p1, sp.param)
         return pt
     if sp.type == "hh":

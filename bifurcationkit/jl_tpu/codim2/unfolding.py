@@ -149,25 +149,98 @@ def _bord_solve(L, col, row, rhs, shift=0.0):
 # ---------------------------------------------------------------------------
 
 
-def bautin_unfolding(prob, x0_tree, params, lens1, lens2):
+def bautin_unfolding(prob, x0_tree, params, lens1, lens2,
+                     matrix_free: bool = False, precond=None,
+                     gmres_opts=None, omega=None, seed=None):
     """Detailed Bautin normal form: the REF1 §7 coefficients plus the REF2
     formulas (17), (19)-(22) parameter unfolding needed to predict the
-    fold-of-PO curve (ref src/codim2/NormalForms.jl:835-925)."""
+    fold-of-PO curve (ref src/codim2/NormalForms.jl:835-925).
+
+    `matrix_free=True` routes every solve through the iterative closures
+    ((q0, p0) by complex bordered inverse iteration, shifted solves via the
+    real embedding, the two resonant bordered solves via the complex
+    extended operator) — the PDE-scale route for GH points on MF Hopf
+    curves; l2 comes from the MF Bautin core."""
     fp = _FlatProblem(prob, x0_tree, params)
-    L = np.asarray(fp.jacobian(), dtype=np.float64)
     n = fp.n
-    vals, vecs = dense_eig(jnp.asarray(L).astype(jnp.complex128))
-    vals_np = np.asarray(vals)
-    score = np.where(vals_np.imag > 1e-10, np.abs(vals_np.real), np.inf)
-    i0 = int(np.argmin(score))
-    lam = vals_np[i0]
-    w = float(lam.imag)
-    q0 = np.asarray(vecs)[:, i0]
-    q0 = q0 / np.linalg.norm(q0)
-    valsT, vecsT = dense_eig(jnp.asarray(L.T).astype(jnp.complex128))
-    iT = int(np.argmin(np.abs(np.asarray(valsT) - np.conj(lam))))
-    p0 = np.asarray(vecsT)[:, iT]
-    p0 = p0 / np.conj(_dot(p0, q0))
+    from ..normal_forms.bautin import bautin_normal_form
+
+    if matrix_free:
+        import jax
+
+        from .minaug_mf import solve_bordered_ext_cplx
+
+        Jd, Jtd, gm1, gm2, gm2n = _mf_solver_set(fp, prob, params, precond,
+                                                 gmres_opts)
+        if omega is None:
+            omega = _estimate_hopf_omega(fp, Jd)
+        q0, p0, w = _mf_hopf_pair(fp, Jd, Jtd, gm2, omega, seed=seed)
+        solveCmf = _make_solveC(Jd, gm2n, n)
+
+        q0r, q0i = jnp.asarray(q0.real), jnp.asarray(q0.imag)
+        p0r, p0i = jnp.asarray(p0.real), jnp.asarray(p0.imag)
+        wj = jnp.asarray(w)
+
+        @jax.jit
+        def _cb(tr, ti):
+            vr, vi, _, _, _ = solve_bordered_ext_cplx(
+                Jd, -wj, q0r, q0i, p0r, p0i, gm2, rhs_top=(tr, ti))
+            return vr, vi
+
+        def _cbord(rhs):
+            rhs = np.asarray(rhs, _C)
+            vr, vi = _cb(jnp.asarray(rhs.real), jnp.asarray(rhs.imag))
+            return np.asarray(vr) + 1j * np.asarray(vi)
+
+        def solve2wmL(b):           # (2iw I - L)^{-1} b
+            return solveCmf(2j * w, b)
+
+        def solvemL(b):             # (-L)^{-1} b
+            return solveCmf(0.0, b)
+
+        def bord_res(rhs):
+            # [-L + iw, q0; p0^H, 0][h; s] = [rhs; 0]  ==  cplx-bordered
+            # (L - iw) applied to -rhs
+            return _cbord(-np.asarray(rhs, _C))
+
+        def Ainv(dx):
+            # [L - iw, q0; p0^H, 0][h; s] = [dx; 0]
+            return _cbord(dx)
+
+        l2_pt = bautin_normal_form(prob, x0_tree, params, matrix_free=True,
+                                   precond=precond, gmres_opts=gmres_opts,
+                                   omega=w, seed=q0)
+    else:
+        L = np.asarray(fp.jacobian(), dtype=np.float64)
+        vals, vecs = dense_eig(jnp.asarray(L).astype(jnp.complex128))
+        vals_np = np.asarray(vals)
+        score = np.where(vals_np.imag > 1e-10, np.abs(vals_np.real),
+                         np.inf)
+        i0 = int(np.argmin(score))
+        lam = vals_np[i0]
+        w = float(lam.imag)
+        q0 = np.asarray(vecs)[:, i0]
+        q0 = q0 / np.linalg.norm(q0)
+        valsT, vecsT = dense_eig(jnp.asarray(L.T).astype(jnp.complex128))
+        iT = int(np.argmin(np.abs(np.asarray(valsT) - np.conj(lam))))
+        p0 = np.asarray(vecsT)[:, iT]
+        p0 = p0 / np.conj(_dot(p0, q0))
+        eye = np.eye(n)
+        _slv = np.linalg.solve
+
+        def solve2wmL(b):
+            return _slv(2j * w * eye - L, np.asarray(b, _C))
+
+        def solvemL(b):
+            return _slv(-L.astype(_C), np.asarray(b, _C))
+
+        def bord_res(rhs):
+            return _bord_solve(-L, q0, p0, rhs, shift=1j * w)
+
+        def Ainv(dx):
+            return _bord_solve(L, q0, p0, dx, shift=-1j * w)
+
+        l2_pt = bautin_normal_form(prob, x0_tree, params)
     cq0 = np.conj(q0)
 
     B = lambda a, b: np.asarray(fp.d2F(jnp.asarray(a), jnp.asarray(b)))
@@ -175,43 +248,35 @@ def bautin_unfolding(prob, x0_tree, params, lens1, lens2):
                                           jnp.asarray(c)))
     D = lambda a, b, c, d: np.asarray(fp.d4F(jnp.asarray(a), jnp.asarray(b),
                                              jnp.asarray(c), jnp.asarray(d)))
-    eye = np.eye(n)
-    solve = np.linalg.solve
 
     # REF1 (7.2)-(7.7)
-    h2000 = solve(2j * w * eye - L, B(q0, q0).astype(_C))
-    h1100 = solve(-L, B(q0, cq0).astype(_C)).real
+    h2000 = solve2wmL(B(q0, q0))
+    h1100 = solvemL(B(q0, cq0)).real
     rhs21 = C(q0, q0, cq0) + B(cq0, h2000) + 2.0 * B(q0, h1100)
     G21 = _dot(p0, rhs21)
-    h2100 = _bord_solve(-L, q0, p0, rhs21 - G21 * q0, shift=1j * w)
+    h2100 = bord_res(rhs21 - G21 * q0)
     # note: reference solves (i w I - A) h21 = rhs - G21 q0 bordered;
     # here  (-L + i w) h = ...  is the same matrix
 
     l1 = G21 / 2.0          # complex l1 (REF2 notation)
-    from ..normal_forms.bautin import bautin_normal_form
-
-    pt = bautin_normal_form(prob, x0_tree, params)
-    l2 = pt.nf["l2"]
+    l2 = l2_pt.nf["l2"]
 
     # REF2 formula (17)
     pj1 = _ParamJet(prob, x0_tree, params, lens1)
     pj2 = _ParamJet(prob, x0_tree, params, lens2)
     J1_1, J1_2 = pj1.J1(), pj2.J1()
-    h0010 = -solve(L, J1_1)
-    h0001 = -solve(L, J1_2)
+    h0010 = np.real(solvemL(J1_1))
+    h0001 = np.real(solvemL(J1_2))
     g110 = _dot(p0, pj1.A1(q0) + B(q0, h0010))
     g101 = _dot(p0, pj2.A1(q0) + B(q0, h0001))
 
     # REF2 (19): Ainv = bordered (L - i w) with borders (q0, p0)
-    def Ainv(dx):
-        return _bord_solve(L, q0, p0, dx, shift=-1j * w)
-
     h1010 = Ainv(g110 * q0 - pj1.A1(q0) - B(q0, h0010))
     h1001 = Ainv(g101 * q0 - pj2.A1(q0) - B(q0, h0001))
 
     # REF2 (20a): (-2 i w I + L) h = tmp
     def solve20a(tmp):
-        return solve(-2j * w * eye + L, tmp.astype(_C))
+        return -solve2wmL(tmp)
 
     tmp2010 = (2.0 * g110) * h2000 - (
         C(q0, q0, h0010) + 2.0 * B(q0, h1010) + B(h2000, h0010)
@@ -226,11 +291,11 @@ def bautin_unfolding(prob, x0_tree, params, lens1, lens2):
     tmp1110 = 2.0 * np.real(g110) * h1100 - (
         C(q0, cq0, h0010) + B(h1100, h0010)
         + 2.0 * np.real(B(cq0, h1010)) + pj1.B1(q0, cq0) + pj1.A1(h1100))
-    h1110 = solve(L.astype(_C), tmp1110.astype(_C))
+    h1110 = -solvemL(tmp1110)
     tmp1101 = 2.0 * np.real(g101) * h1100 - (
         C(q0, cq0, h0001) + B(h1100, h0001)
         + 2.0 * np.real(B(cq0, h1001)) + pj2.B1(q0, cq0) + pj2.A1(h1100))
-    h1101 = solve(L.astype(_C), tmp1101.astype(_C))
+    h1101 = -solvemL(tmp1101)
 
     # REF2 (21)
     def tmp21(h00_, h10_, h20_, h11_, pj):

@@ -41,9 +41,37 @@ def _pair(A, target):
     return lam, q, p
 
 
-def zh_normal_form(prob, x0, params, verbose: bool = False):
-    """Quadratic ZH coefficients (ref ZH NF, src/codim2/NormalForms.jl:959)."""
+def zh_normal_form(prob, x0, params, verbose: bool = False,
+                   matrix_free: bool = False, precond=None,
+                   gmres_opts=None, omega=None, seed=None):
+    """Quadratic ZH coefficients (ref ZH NF, src/codim2/NormalForms.jl:959).
+
+    `matrix_free=True` computes the (q0, p0) null pair and the (q1, p1)
+    Hopf pair by bordered inverse iteration (the `_zh_basis_mf` kit of the
+    detailed unfolding) — the quadratic G's are then pure AD projections,
+    no solves; the PDE-scale route for ZH points on MF MA curves."""
     fp = _FlatProblem(prob, x0, params)
+    if matrix_free:
+        from .unfolding import _zh_basis_mf
+
+        q0n, p0n, q1n, p1n, w, _, _, _ = _zh_basis_mf(
+            fp, prob, params, precond=precond, gmres_opts=gmres_opts,
+            omega=omega, seed=seed)
+        q0, p0 = jnp.asarray(q0n), jnp.asarray(p0n)
+        q1, p1 = jnp.asarray(q1n), jnp.asarray(p1n)
+        B = lambda a, b: fp.d2F(a, b)
+        G200 = float(jnp.real(jnp.dot(p0, B(q0, q0))))
+        G011 = float(jnp.real(jnp.sum(
+            jnp.conj(p0.astype(jnp.complex128)) * B(q1, jnp.conj(q1)))))
+        G110 = complex(jnp.sum(jnp.conj(p1) * B(q0, q1)))
+        pt = ZeroHopf(x0=fp.flat0, p=None, params=params, lens=prob.lens,
+                      zeta=(q0, q1), zeta_star=(p0, p1), omega=w,
+                      nf={"G200": G200, "G011": G011, "G110": G110},
+                      prob=prob)
+        if verbose:
+            print(f"ZH NF (mf): G200={G200:.6g} G011={G011:.6g} "
+                  f"G110={G110:.6g} omega={w:.6g}")
+        return pt
     A = fp.jacobian()
     # zero eigenvalue pair
     lam0, q0c, p0c = _pair(A.astype(jnp.complex128), 0.0 + 0.0j)

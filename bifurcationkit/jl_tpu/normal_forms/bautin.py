@@ -31,20 +31,35 @@ from ..linalg.eig import dense_eig
 from .codim1 import _FlatProblem, _inner
 
 
-def bautin_normal_form(prob, x0, params, verbose: bool = False):
+def bautin_normal_form(prob, x0, params, verbose: bool = False,
+                       matrix_free: bool = False, precond=None,
+                       gmres_opts=None, omega=None, seed=None):
     """Second Lyapunov coefficient at a (near-)degenerate Hopf point.
 
     The whole computation (jets up to 5th order, solves, eigs via host
     callbacks) is jitted once per problem and cached — repeated evaluations
-    along a curve are then single dispatches."""
-    core = getattr(prob, "_bautin_core", None)
-    if core is None:
-        core = jax.jit(lambda xf, par: _bautin_core(prob, xf, par))
-        object.__setattr__(prob, "_bautin_core", core)
+    along a curve are then single dispatches.
+
+    `matrix_free=True` is the PDE-scale route (the reference computes the
+    same objects through its solver abstraction,
+    src/codim2/NormalForms.jl:642-958): (q, p) by complex bordered inverse
+    iteration near i*omega, every h-solve through the real-embedded
+    shifted operator (sigma in {0, 2iw, 3iw}) and the resonant h21 through
+    the complex bordered extended solve — nothing materializes."""
     from ..core.state import ravel as _ravel
 
-    xf, _ = _ravel(x0)
-    l1, l2, g21, g32, w, q, p = jax.device_get(core(xf, params))
+    if matrix_free:
+        xf, _ = _ravel(x0)
+        l1, l2, g21, g32, w, q, p = _bautin_core_mf(
+            prob, x0, params, precond=precond, gmres_opts=gmres_opts,
+            omega=omega, seed=seed)
+    else:
+        core = getattr(prob, "_bautin_core", None)
+        if core is None:
+            core = jax.jit(lambda xf, par: _bautin_core(prob, xf, par))
+            object.__setattr__(prob, "_bautin_core", core)
+        xf, _ = _ravel(x0)
+        l1, l2, g21, g32, w, q, p = jax.device_get(core(xf, params))
     pt = Bautin(x0=xf, p=None, params=params, lens=prob.lens,
                 zeta=q, zeta_star=p, omega=float(w),
                 nf={"l1": float(l1), "l2": float(l2),
@@ -129,3 +144,95 @@ def _bautin_core(prob, x_flat, params):
     l1 = jnp.real(g21) / 2.0
     l2 = jnp.real(g32) / 12.0
     return l1, l2, g21, g32, w, q, p
+
+
+def _bautin_core_mf(prob, x0, params, precond=None, gmres_opts=None,
+                    omega=None, seed=None):
+    """Matrix-free Bautin core: identical formulas to `_bautin_core`, every
+    linear solve routed through the preconditioned iterative closures of
+    the codim-2 unfolding kit (ref the reference's solver-abstraction
+    realization, src/codim2/NormalForms.jl:642-958):
+
+      (q, p, w)            complex bordered inverse iteration near i*omega
+      (sigma I - A)^-1     real-embedded shifted GMRES (sigma = 0, 2iw, 3iw)
+      resonant h21         complex bordered extended solve with borders
+                           (q, p):  [iw - A, q; p^H, 0][h; s] = [rhs; 0]
+                           == cplx-bordered (A - iw) applied to -rhs
+    """
+    from ..codim2.minaug_mf import solve_bordered_ext_cplx
+    from ..codim2.unfolding import (_dot, _estimate_hopf_omega,
+                                    _make_solveC, _mf_hopf_pair,
+                                    _mf_solver_set)
+
+    fp = _FlatProblem(prob, x0, params)
+    n = fp.n
+    Jd, Jtd, gm1, gm2, gm2n = _mf_solver_set(fp, prob, params, precond,
+                                             gmres_opts)
+    if omega is None:
+        omega = _estimate_hopf_omega(fp, Jd)
+    q, p, w = _mf_hopf_pair(fp, Jd, Jtd, gm2, omega, seed=seed)
+    solveC = _make_solveC(Jd, gm2n, n)
+
+    qb = np.conj(q)
+    _C = np.complex128
+    B = lambda a, b: np.asarray(fp.d2F(jnp.asarray(a), jnp.asarray(b)))
+    C = lambda a, b, c: np.asarray(fp.d3F(jnp.asarray(a), jnp.asarray(b),
+                                          jnp.asarray(c)))
+    D = lambda a, b, c, d: np.asarray(fp.d4F(jnp.asarray(a), jnp.asarray(b),
+                                             jnp.asarray(c), jnp.asarray(d)))
+    E = lambda a, b, c, d, e: np.asarray(fp.d5F(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(c), jnp.asarray(d),
+        jnp.asarray(e)))
+
+    def ip(vec):
+        return _dot(p, vec)
+
+    h20 = solveC(2j * w, B(q, q))
+    h11 = solveC(0.0, B(q, qb))
+
+    rhs21 = C(q, q, qb) + B(qb, h20) + 2.0 * B(q, h11)
+    g21 = ip(rhs21)
+
+    # resonant bordered solve: [iw - A, q; p^H, 0][h21; s] = [rhs; 0]
+    # multiplied by -1 on the top row this is the (A - iw) complex
+    # bordered extended operator with top RHS -rhs (Omega = -w)
+    qr_, qi_ = jnp.asarray(np.real(q)), jnp.asarray(np.imag(q))
+    pr_, pi_ = jnp.asarray(np.real(p)), jnp.asarray(np.imag(p))
+    wj = jnp.asarray(w)
+
+    @jax.jit
+    def _res(tr, ti):
+        vr, vi, _, _, _ = solve_bordered_ext_cplx(
+            Jd, -wj, qr_, qi_, pr_, pi_, gm2, rhs_top=(tr, ti))
+        return vr, vi
+
+    rhs_h21 = -(rhs21 - g21 * q).astype(_C)
+    vr, vi = _res(jnp.asarray(rhs_h21.real), jnp.asarray(rhs_h21.imag))
+    h21 = np.asarray(vr) + 1j * np.asarray(vi)
+
+    h30 = solveC(3j * w, C(q, q, q) + 3.0 * B(q, h20))
+
+    h31 = solveC(2j * w,
+                 D(q, q, q, qb) + 3.0 * C(q, q, h11) + 3.0 * C(q, qb, h20)
+                 + 3.0 * B(h20, h11) + B(qb, h30) + 3.0 * B(q, h21)
+                 - 3.0 * g21 * h20)
+
+    h22 = solveC(0.0,
+                 D(q, q, qb, qb) + 4.0 * C(q, qb, h11)
+                 + C(qb, qb, h20) + C(q, q, np.conj(h20))
+                 + 2.0 * B(h11, h11) + 2.0 * B(q, np.conj(h21))
+                 + 2.0 * B(qb, h21) + B(np.conj(h20), h20)
+                 - 2.0 * (g21 + np.conj(g21)) * h11)
+
+    g32 = ip(E(q, q, q, qb, qb)
+             + D(q, q, q, np.conj(h20)) + 3.0 * D(q, qb, qb, h20)
+             + 6.0 * D(q, q, qb, h11)
+             + C(qb, qb, h30) + 3.0 * C(q, q, np.conj(h21))
+             + 6.0 * C(q, qb, h21) + 3.0 * C(q, np.conj(h20), h20)
+             + 6.0 * C(q, h11, h11) + 6.0 * C(qb, h20, h11)
+             + 2.0 * B(qb, h31) + 3.0 * B(q, h22)
+             + B(np.conj(h20), h30) + 3.0 * B(np.conj(h21), h20)
+             + 6.0 * B(h11, h21))
+    l1 = np.real(g21) / 2.0
+    l2 = np.real(g32) / 12.0
+    return l1, l2, complex(g21), complex(g32), w, q, p

@@ -810,3 +810,90 @@ def test_zh_hh_unfolding_mf_parity():
         np.testing.assert_allclose(nf_m2[fam]["alpha"],
                                    nf_d2[fam]["alpha"], atol=1e-8)
         assert abs(nf_d2[fam]["dw1"] - nf_m2[fam]["dw1"]) < 1e-8
+
+
+def test_mf_codim2_nf_family_parity():
+    """cusp / ZH / Bautin-l2 / Bautin-unfolding through the bordered/
+    iterative route == dense path on the constructed gold models — the
+    full codim-2 normal-form family behind `get_normal_form_codim2`'s
+    matrix-free auto-routing (BT was round-5 earlier; ref the reference
+    computing all of them through its solver abstraction,
+    src/codim2/NormalForms.jl)."""
+    from bifurcationkit.jl_tpu.codim2.normal_forms import cusp_normal_form
+    from bifurcationkit.jl_tpu.codim2.unfolding import (bautin_unfolding,
+                                                        predictor_fold_po)
+    from bifurcationkit.jl_tpu.codim2.zh_hh import zh_normal_form
+    from bifurcationkit.jl_tpu.core.lens import as_lens
+    from bifurcationkit.jl_tpu.normal_forms import bautin_normal_form
+
+    # cusp: F = u^3 + p1 u + p2 at the cusp (0, 0) -> c = 1
+    def Fc(u, par):
+        return u ** 3 + par["p1"] * u + par["p2"]
+
+    probc = bk.BifurcationProblem(Fc, u0=jnp.zeros(1),
+                                  params={"p1": 0.0, "p2": 0.0}, lens="p1")
+    ptd = cusp_normal_form(probc, jnp.zeros(1), probc.params)
+    ptm = cusp_normal_form(probc, jnp.zeros(1), probc.params,
+                           matrix_free=True)
+    assert ptm.nf["c"] == pytest.approx(ptd.nf["c"], abs=1e-10)
+    assert abs(ptm.nf["c"] - 1.0) < 1e-10
+
+    # ZH quadratic G's on the constructed NF (all three flip together
+    # with the q0 sign, which the iterative null basis does not pin)
+    a, b, c, w = 0.7, -1.3, 0.4 + 0.2j, 1.9
+
+    def Fz(u, par):
+        x = u[0]
+        z = u[1] + 1j * u[2]
+        dx = a * x * x + b * (u[1] ** 2 + u[2] ** 2) + par["p"] * x
+        dz = 1j * w * z + c * x * z
+        return jnp.array([dx, jnp.real(dz), jnp.imag(dz)])
+
+    probz = bk.BifurcationProblem(Fz, u0=jnp.zeros(3), params={"p": 0.0},
+                                  lens="p")
+    ptdz = zh_normal_form(probz, jnp.zeros(3), {"p": 0.0})
+    ptmz = zh_normal_form(probz, jnp.zeros(3), {"p": 0.0},
+                          matrix_free=True)
+    s = float(np.sign(np.dot(np.asarray(ptmz.zeta[0]),
+                             np.asarray(ptdz.zeta[0]))))
+    assert s * ptmz.nf["G200"] == pytest.approx(ptdz.nf["G200"], abs=1e-8)
+    assert s * ptmz.nf["G011"] == pytest.approx(ptdz.nf["G011"], abs=1e-8)
+    assert s * ptmz.nf["G110"] == pytest.approx(ptdz.nf["G110"], abs=1e-8)
+    assert ptmz.omega == pytest.approx(w, abs=1e-8)
+
+    # Bautin l2 gold: z' = i w z + i b z|z|^2 + e z|z|^4 -> l2 = 4 Re(e)
+    wB = 1.3
+
+    def make(bc, e):
+        def F(u, par):
+            z = u[0] + 1j * u[1]
+            zz = z * jnp.conj(z)
+            out = 1j * wB * z + bc * z * zz + e * z * zz ** 2
+            return jnp.array([jnp.real(out), jnp.imag(out)])
+
+        return bk.BifurcationProblem(F, u0=jnp.zeros(2), params={"p": 0.0},
+                                     lens="p")
+
+    ptb = bautin_normal_form(make(0.3j, -1.0), jnp.zeros(2), {"p": 0.0},
+                             matrix_free=True)
+    assert abs(ptb.nf["l1"]) < 1e-10
+    assert ptb.nf["l2"] == pytest.approx(-4.0, abs=1e-8)
+
+    # Bautin detailed unfolding: scalar invariants + the fold-of-PO
+    # predictor match the dense path on the quintic model
+    from tests.test_po_switch import L5_GH, _bautin_model
+
+    probB = bk.BifurcationProblem(_bautin_model(), u0=jnp.zeros(2),
+                                  params={"p1": 0.0, "p2": 0.0}, lens="p1")
+    nfd = bautin_unfolding(probB, jnp.zeros(2), probB.params,
+                           as_lens("p1"), as_lens("p2"))
+    nfm = bautin_unfolding(probB, jnp.zeros(2), probB.params,
+                           as_lens("p1"), as_lens("p2"), matrix_free=True)
+    for k in ("l1", "g110", "g101", "g210", "g201"):
+        np.testing.assert_allclose(complex(nfm[k]), complex(nfd[k]),
+                                   atol=1e-8)
+    assert nfm["l2"] == pytest.approx(nfd["l2"], abs=1e-8)
+    np.testing.assert_allclose(nfm["alpha"], nfd["alpha"], atol=1e-8)
+    for eps in (0.1, 0.05):
+        pm = predictor_fold_po(nfm, eps)
+        assert pm["p2"] == pytest.approx(-4 * L5_GH * eps ** 2, rel=1e-8)
