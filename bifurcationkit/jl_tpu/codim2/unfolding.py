@@ -1077,6 +1077,16 @@ def predictor_homoclinic_bt(nf: dict, eps: float):
 # ---------------------------------------------------------------------------
 
 
+def _curve_omega_sp(sp, maprob):
+    """Hopf frequency stored in the extended MA state (hopf curves only)."""
+    if getattr(maprob, "ma_kind", None) == "hopf":
+        X = np.asarray(sp.x)
+        n = maprob.n_inner
+        if X.shape[0] > n + 1:
+            return abs(float(X[n + 1]))
+    return None
+
+
 def _codim2_point_context(br_codim2, ind_bif):
     """Extract (inner problem, x0 tree, params at the point, lens1, lens2)
     from a codim-2 MA branch special point."""
@@ -1120,19 +1130,29 @@ def switch_codim2_po(br_codim2, ind_bif: int, contparams, disc=None,
     sp, inner, x, params, lens1, lens2 = _codim2_point_context(
         br_codim2, ind_bif)
     sp_type = as_type or sp.type
+    # on a matrix-free MA curve the unfolding at the point routes through
+    # the bordered/iterative solvers too (nothing materialized)
+    _maprob = getattr(br_codim2, "gamma", br_codim2).prob
+    mf_kw = {}
+    if bool(getattr(_maprob, "ma_mf", False)):
+        mf_kw = dict(matrix_free=True,
+                     precond=getattr(_maprob, "precond", None))
+        om = _curve_omega_sp(sp, _maprob)
+        if om is not None and sp_type in ("gh", "zh"):
+            mf_kw["omega"] = om
     if sp_type == "gh":
-        nf = bautin_unfolding(inner, x, params, lens1, lens2)
+        nf = bautin_unfolding(inner, x, params, lens1, lens2, **mf_kw)
         pred = predictor_fold_po(nf, eps)
         kind, theta_pred = "fold", 0.0
     elif sp_type == "zh":
-        nf = zh_unfolding(inner, x, params, lens1, lens2)
+        nf = zh_unfolding(inner, x, params, lens1, lens2, **mf_kw)
         pred = predictor_ns_zh(nf, eps)
         if not pred["hasNS"]:
             raise ValueError(
                 "this ZH point has no NS curve (Re(G110) * G011 >= 0)")
         kind, theta_pred = "ns", pred["k"]
     elif sp_type == "hh":
-        nf = hh_unfolding(inner, x, params, lens1, lens2)
+        nf = hh_unfolding(inner, x, params, lens1, lens2, **mf_kw)
         pred = predictor_ns_hh(nf, eps, which=which)
         kind, theta_pred = "ns", pred["k"]
     else:
